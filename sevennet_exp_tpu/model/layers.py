@@ -1,0 +1,359 @@
+"""Functional model layers operating on the shared data dict.
+
+Mirrors the behavioral contract of reference sevenn/nn/* modules: every
+layer reads/writes string-keyed tensors (reference _const.py:63
+AtomGraphDataType). Here each layer is a frozen dataclass with
+``init(key) -> (params, trainable_mask)`` and ``apply(params, data) ->
+data``; the whole model is a pure function suitable for jit/grad.
+
+TPU-native deviations from the reference:
+  - static shapes: padded nodes/edges are masked via NODE_MASK/EDGE_MASK
+    (replaces torch dynamic shapes);
+  - force/stress come from one jax.grad program (see model.py), not a
+    trailing autograd module.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import _keys as KEY
+from ..irreps import Irreps
+from ..ops.radial import BesselBasis, PolynomialCutoff, XPLORCutoff
+from ..ops.spherical import spherical_harmonics
+from ..ops.scatter import scatter_sum
+from ..ops.tensor_product import (
+    FullyConnectedNetSpec,
+    FullyConnectedTPSpec,
+    GateSpec,
+    LinearSpec,
+    UVUTensorProductSpec,
+)
+
+Array = jnp.ndarray
+Params = Dict[str, Any]
+
+
+def _no_params(key):
+    return {}, {}
+
+
+@dataclass(frozen=True)
+class EdgeEmbedding:
+    """EDGE_VEC -> EDGE_LENGTH, EDGE_EMBEDDING (bessel*envelope*mask),
+    EDGE_ATTR (real SH). Reference sevenn/nn/edge_embedding.py:190-217."""
+    basis: BesselBasis
+    cutoff_fn: Any  # PolynomialCutoff | XPLORCutoff
+    lmax_edge: int
+    parity: int  # -1 if is_parity else 1
+    normalize_sph: bool = True
+
+    @property
+    def irreps_out(self) -> Irreps:
+        return Irreps.spherical_harmonics(self.lmax_edge, self.parity)
+
+    def init(self, key):
+        p = self.basis.init()
+        return p, {'coeffs': self.basis.trainable}
+
+    def apply(self, params, data):
+        rvec = data[KEY.EDGE_VEC]
+        r = jnp.sqrt(jnp.sum(rvec * rvec, axis=-1))
+        data[KEY.EDGE_LENGTH] = r
+        emb = self.basis.apply(params, r) * self.cutoff_fn.apply(r)[..., None]
+        if KEY.EDGE_MASK in data:
+            emb = emb * data[KEY.EDGE_MASK][..., None]
+        data[KEY.EDGE_EMBEDDING] = emb
+        data[KEY.EDGE_ATTR] = spherical_harmonics(
+            self.lmax_edge, rvec, normalize=self.normalize_sph,
+            normalization='component',
+        )
+        return data
+
+
+@dataclass(frozen=True)
+class OnehotEmbedding:
+    """Type index -> one-hot (reference sevenn/nn/node_embedding.py:15-54)."""
+    num_classes: int
+    key_x: str = KEY.NODE_FEATURE
+    key_out: Optional[str] = None
+    key_save: Optional[str] = KEY.ATOM_TYPE
+    key_additional: Optional[str] = KEY.NODE_ATTR
+
+    init = staticmethod(_no_params)
+
+    def apply(self, params, data):
+        inp = data[self.key_x]
+        embd = jax.nn.one_hot(inp, self.num_classes, dtype=jnp.float32)
+        data[self.key_out or self.key_x] = embd
+        if self.key_additional is not None:
+            data[self.key_additional] = embd
+        if self.key_save is not None:
+            data[self.key_save] = inp
+        return data
+
+
+@dataclass(frozen=True)
+class IrrepsLinear:
+    """e3nn o3.Linear on a data key (reference sevenn/nn/linear.py:14-101).
+
+    With num_modalities > 1, the per-structure modality one-hot is appended
+    to the input scalars (reference linear.py:65-101).
+    """
+    spec: LinearSpec
+    key_in: str
+    key_out: Optional[str] = None
+    num_modalities: int = 0
+
+    def init(self, key):
+        p = self.spec.init(key)
+        return p, {k: True for k in p}
+
+    def apply(self, params, data):
+        x = data[self.key_in]
+        if self.num_modalities > 1:
+            modal_onehot = jax.nn.one_hot(
+                data[KEY.MODAL_TYPE], self.num_modalities, dtype=x.dtype
+            )
+            if modal_onehot.ndim == x.ndim:  # per-graph -> per-node
+                modal_onehot = modal_onehot[data[KEY.BATCH]]
+            x = jnp.concatenate([x, modal_onehot], axis=-1)
+        data[self.key_out or self.key_in] = self.spec.apply(params, x)
+        return data
+
+
+@dataclass(frozen=True)
+class SelfConnectionIntro:
+    """FCTP(x, node_attr) -> SELF_CONNECTION_TEMP
+    (reference sevenn/nn/self_connection.py:10-64, 'nequip' type)."""
+    spec: FullyConnectedTPSpec
+    key_x: str = KEY.NODE_FEATURE
+    key_operand: str = KEY.NODE_ATTR
+
+    def init(self, key):
+        p = self.spec.init(key)
+        return p, {k: True for k in p}
+
+    def apply(self, params, data):
+        data[KEY.SELF_CONNECTION_TEMP] = self.spec.apply(
+            params, data[self.key_x], data[self.key_operand]
+        )
+        return data
+
+
+@dataclass(frozen=True)
+class SelfConnectionLinearIntro:
+    """Linear(x) -> SELF_CONNECTION_TEMP (reference self_connection.py:68-108,
+    'linear' type; used by 7net-0)."""
+    spec: LinearSpec
+    key_x: str = KEY.NODE_FEATURE
+
+    def init(self, key):
+        p = self.spec.init(key)
+        return p, {k: True for k in p}
+
+    def apply(self, params, data):
+        data[KEY.SELF_CONNECTION_TEMP] = self.spec.apply(
+            params, data[self.key_x]
+        )
+        return data
+
+
+@dataclass(frozen=True)
+class SelfConnectionOutro:
+    """x += SELF_CONNECTION_TEMP (reference self_connection.py:112-128)."""
+    key_x: str = KEY.NODE_FEATURE
+
+    init = staticmethod(_no_params)
+
+    def apply(self, params, data):
+        data[self.key_x] = data[self.key_x] + data[KEY.SELF_CONNECTION_TEMP]
+        del data[KEY.SELF_CONNECTION_TEMP]
+        return data
+
+
+@dataclass(frozen=True)
+class IrrepsConvolution:
+    """Message passing: TP(x[src], Y(r); MLP(radial)) scatter-summed on dst,
+    divided by `denominator` (reference sevenn/nn/convolution.py:29-137).
+
+    Note the reference index convention (convolution.py:125-127):
+    edge_index[1] is the message source (neighbor), edge_index[0] the
+    destination (center).
+    """
+    tp: UVUTensorProductSpec
+    weight_nn: FullyConnectedNetSpec
+    denominator: float
+    train_denominator: bool = False
+    key_x: str = KEY.NODE_FEATURE
+    key_filter: str = KEY.EDGE_ATTR
+    key_weight_input: str = KEY.EDGE_EMBEDDING
+    key_edge_idx: str = KEY.EDGE_IDX
+
+    def init(self, key):
+        p = {
+            'weight_nn': self.weight_nn.init(key),
+            'denominator': jnp.array([self.denominator], dtype=jnp.float32),
+        }
+        mask = {
+            'weight_nn': {k: True for k in p['weight_nn']},
+            'denominator': self.train_denominator,
+        }
+        return p, mask
+
+    def apply(self, params, data):
+        w = self.weight_nn.apply(params['weight_nn'], data[self.key_weight_input])
+        if KEY.EDGE_MASK in data:
+            w = w * data[KEY.EDGE_MASK][..., None]
+        x = data[self.key_x]
+        edge_idx = data[self.key_edge_idx]
+        edge_src = edge_idx[1]
+        edge_dst = edge_idx[0]
+        message = self.tp.apply(x[edge_src], data[self.key_filter], w)
+        out = scatter_sum(message, edge_dst, x.shape[0])
+        denom = params['denominator'].astype(out.dtype)
+        data[self.key_x] = out / denom
+        return data
+
+
+@dataclass(frozen=True)
+class EquivariantGate:
+    """Gate nonlinearity (reference sevenn/nn/equivariant_gate.py:13-62)."""
+    spec: GateSpec
+    key_x: str = KEY.NODE_FEATURE
+
+    init = staticmethod(_no_params)
+
+    def apply(self, params, data):
+        data[self.key_x] = self.spec.apply(data[self.key_x])
+        return data
+
+
+@dataclass(frozen=True)
+class Rescale:
+    """atomic_E = scaled * scale + shift (reference sevenn/nn/scale.py:22-56)."""
+    shift: float
+    scale: float
+    train_shift_scale: bool = False
+    key_in: str = KEY.SCALED_ATOMIC_ENERGY
+    key_out: str = KEY.ATOMIC_ENERGY
+
+    def init(self, key):
+        p = {
+            'shift': jnp.array([self.shift], dtype=jnp.float32),
+            'scale': jnp.array([self.scale], dtype=jnp.float32),
+        }
+        m = {'shift': self.train_shift_scale, 'scale': self.train_shift_scale}
+        return p, m
+
+    def apply(self, params, data):
+        data[self.key_out] = (
+            data[self.key_in] * params['scale'] + params['shift']
+        )
+        return data
+
+
+@dataclass(frozen=True)
+class SpeciesWiseRescale:
+    """Per-species shift/scale indexed by ATOM_TYPE
+    (reference sevenn/nn/scale.py:60-161)."""
+    shift: Tuple[float, ...]
+    scale: Tuple[float, ...]
+    train_shift_scale: bool = False
+    key_in: str = KEY.SCALED_ATOMIC_ENERGY
+    key_out: str = KEY.ATOMIC_ENERGY
+    key_indices: str = KEY.ATOM_TYPE
+
+    def init(self, key):
+        p = {
+            'shift': jnp.asarray(self.shift, dtype=jnp.float32),
+            'scale': jnp.asarray(self.scale, dtype=jnp.float32),
+        }
+        m = {'shift': self.train_shift_scale, 'scale': self.train_shift_scale}
+        return p, m
+
+    def apply(self, params, data):
+        idx = data[self.key_indices]
+        shift = params['shift'][idx][..., None]
+        scale = params['scale'][idx][..., None]
+        data[self.key_out] = data[self.key_in] * scale + shift
+        return data
+
+
+@dataclass(frozen=True)
+class ModalWiseRescale:
+    """Per-(modality, species) shift/scale (reference scale.py:165-361)."""
+    shift: Tuple  # (n_modal, n_types) or (n_types,)
+    scale: Tuple
+    use_modal_wise_shift: bool = False
+    use_modal_wise_scale: bool = False
+    train_shift_scale: bool = False
+    key_in: str = KEY.SCALED_ATOMIC_ENERGY
+    key_out: str = KEY.ATOMIC_ENERGY
+
+    def init(self, key):
+        p = {
+            'shift': jnp.asarray(np.array(self.shift), dtype=jnp.float32),
+            'scale': jnp.asarray(np.array(self.scale), dtype=jnp.float32),
+        }
+        m = {'shift': self.train_shift_scale, 'scale': self.train_shift_scale}
+        return p, m
+
+    def apply(self, params, data):
+        atom_idx = data[KEY.ATOM_TYPE]
+        modal_idx = data[KEY.MODAL_TYPE]
+        if modal_idx.ndim > 0 and modal_idx.shape[0] != atom_idx.shape[0]:
+            modal_idx = modal_idx[data[KEY.BATCH]]
+        shift = (
+            params['shift'][modal_idx, atom_idx]
+            if self.use_modal_wise_shift else params['shift'][atom_idx]
+        )
+        scale = (
+            params['scale'][modal_idx, atom_idx]
+            if self.use_modal_wise_scale else params['scale'][atom_idx]
+        )
+        data[self.key_out] = (
+            data[self.key_in] * scale[..., None] + shift[..., None]
+        )
+        return data
+
+
+@dataclass(frozen=True)
+class AtomReduce:
+    """Masked per-graph sum of atomic energies
+    (reference sevenn/nn/linear.py:104-141)."""
+    key_in: str = KEY.ATOMIC_ENERGY
+    key_out: str = KEY.PRED_TOTAL_ENERGY
+    constant: float = 1.0
+
+    init = staticmethod(_no_params)
+
+    def apply(self, params, data):
+        src = data[self.key_in][..., 0]
+        if KEY.NODE_MASK in data:
+            src = src * data[KEY.NODE_MASK]
+        num_graphs = data[KEY.NUM_ATOMS].shape[0]
+        out = scatter_sum(src, data[KEY.BATCH], num_graphs)
+        data[self.key_out] = out * self.constant
+        return data
+
+
+@dataclass(frozen=True)
+class FCNReadout:
+    """Scalar MLP readout option (reference sevenn/nn/linear.py:145-180)."""
+    spec: FullyConnectedNetSpec
+    key_in: str = KEY.NODE_FEATURE
+    key_out: str = KEY.SCALED_ATOMIC_ENERGY
+
+    def init(self, key):
+        p = self.spec.init(key)
+        return p, {k: True for k in p}
+
+    def apply(self, params, data):
+        data[self.key_out] = self.spec.apply(params, data[self.key_in])
+        return data
