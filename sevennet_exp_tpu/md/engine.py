@@ -1,0 +1,230 @@
+"""MD driver: jitted trajectory chunks with amortized neighbor rebuilds.
+
+Replaces the reference's MD product surfaces (ASE-calculator stepping,
+sevennet_calculator.py; LAMMPS pair_e3gnn.cpp) with a single XLA program
+per chunk: [rebuild neighbor list] -> scan(integrator step x K). Capacity
+overflow is detected on device and resolved on host by growing the edge
+capacity and recompiling (the static-shape analog of `nedges*1.2`
+amortization, pair_e3gnn.cpp:267-273).
+
+Requires minimum-image-valid boxes (every cell width >= 2*(cutoff+skin)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import _keys as KEY
+from ..data.graph import Atoms
+from ..data.periodic import atomic_masses
+from ..model.model import SevenNetModel
+from . import integrate
+from .integrate import MDState
+from .neighbor import (
+    NeighborState,
+    cell_list_neighbor_list,
+    choose_grid,
+    dense_neighbor_list,
+    mic_displacements,
+)
+from .units import fs as FS
+from .units import kB
+
+
+class MolecularDynamics:
+    """NVE/NVT MD on one device. Ensemble: 'nve' | 'langevin' | 'nvt'."""
+
+    def __init__(
+        self,
+        model: SevenNetModel,
+        params,
+        atoms: Atoms,
+        dt_fs: float = 2.0,
+        temperature_K: float = 300.0,
+        ensemble: str = 'nvt',
+        friction_per_fs: float = 0.002,
+        tdamp_fs: Optional[float] = None,
+        skin: float = 1.0,
+        rebuild_every: int = 10,
+        seed: int = 0,
+        dtype=jnp.float32,
+        edge_capacity: Optional[int] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.dtype = dtype
+        n = len(atoms)
+        self.n = n
+        self.Z = jnp.asarray(atoms.atomic_numbers, dtype=jnp.int32)
+        self.cell = jnp.asarray(atoms.cell, dtype=dtype)
+        self.inv_cell = jnp.linalg.inv(self.cell)
+        self.masses = jnp.asarray(
+            np.asarray(atomic_masses)[atoms.atomic_numbers], dtype=dtype
+        )
+        self.cutoff = float(model.cutoff)
+        self.skin = skin
+        self.build_cutoff = self.cutoff + skin
+        self.rebuild_every = rebuild_every
+        self.dt = dt_fs * FS
+        self.temperature_K = temperature_K
+        self.ensemble = ensemble
+
+        widths = self._cell_widths(np.asarray(atoms.cell))
+        if np.any(widths < 2 * self.build_cutoff):
+            raise ValueError(
+                'cell too small for minimum-image MD; '
+                'use SevenNetCalculator for single points'
+            )
+        self.grid = choose_grid(np.asarray(atoms.cell), self.build_cutoff)
+        self.use_cell_list = all(g >= 3 for g in self.grid) and n > 512
+        # conservative per-atom neighbor estimate from density
+        vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
+        density = n / vol
+        est = density * 4.19 * self.build_cutoff ** 3 * 1.4 + 16
+        self.e_cap = edge_capacity or int(
+            np.ceil(n * est / 128.0) * 128
+        )
+        self.cell_cap = int(np.ceil(
+            density * np.prod(self._cell_widths(np.asarray(atoms.cell))
+                              / np.asarray(self.grid)) * 2.5 + 8
+        )) if self.use_cell_list else 0
+
+        key = jax.random.PRNGKey(seed)
+        key, vkey = jax.random.split(key)
+        vel = integrate.maxwell_boltzmann(
+            vkey, self.masses, temperature_K, dtype
+        )
+        pos0 = jnp.asarray(atoms.pos, dtype=dtype)
+        self.state = MDState(
+            pos=pos0, vel=vel,
+            forces=jnp.zeros((n, 3), dtype),
+            energy=jnp.array(0.0, dtype),
+            key=key, xi=jnp.array(0.0, dtype),
+        )
+        if tdamp_fs is None:
+            tdamp_fs = 100.0 * dt_fs / 2.0
+        self.tdamp = tdamp_fs * FS
+        self.friction = friction_per_fs / FS
+        self._initialized = False
+
+    @staticmethod
+    def _cell_widths(cell):
+        vol = abs(np.linalg.det(cell))
+        return np.array([
+            vol / np.linalg.norm(np.cross(cell[(i + 1) % 3], cell[(i + 2) % 3]))
+            for i in range(3)
+        ])
+
+    # -- potential -----------------------------------------------------
+    def _energy_fn(self, pos, nl: NeighborState):
+        edge_idx = nl.edge_idx
+        vec = mic_displacements(
+            pos[edge_idx[0]], pos[edge_idx[1]], self.cell, self.inv_cell
+        )
+        r2 = jnp.sum(vec * vec, axis=-1)
+        mask = nl.valid & (r2 < self.cutoff ** 2)
+        safe = jnp.where(
+            mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], dtype=vec.dtype)
+        )
+        data = {
+            KEY.ATOMIC_NUMBERS: self.Z,
+            KEY.EDGE_IDX: edge_idx,
+            KEY.EDGE_VEC: safe,
+            KEY.EDGE_MASK: mask.astype(safe.dtype),
+            KEY.BATCH: jnp.zeros(self.n, dtype=jnp.int32),
+            KEY.NUM_ATOMS: jnp.array([self.n], dtype=jnp.int32),
+            KEY.NODE_MASK: jnp.ones(self.n, dtype=safe.dtype),
+            KEY.CELL_VOLUME: jnp.array(
+                [jnp.abs(jnp.linalg.det(self.cell))], dtype=safe.dtype
+            ),
+        }
+        out = self.model.apply_energy(self.params, data)
+        return jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
+
+    def _ef_fn(self, pos, nl):
+        e, g = jax.value_and_grad(self._energy_fn)(pos, nl)
+        return e, -g
+
+    def _build_nl(self, pos):
+        if self.use_cell_list:
+            return cell_list_neighbor_list(
+                pos, self.cell, self.build_cutoff, self.e_cap,
+                self.grid, self.cell_cap,
+            )
+        return dense_neighbor_list(
+            pos, self.cell, self.build_cutoff, self.e_cap
+        )
+
+    def _make_step(self):
+        if self.ensemble == 'nve':
+            return integrate.make_nve_step(self._ef_fn, self.masses, self.dt)
+        if self.ensemble == 'langevin':
+            return integrate.make_langevin_step(
+                self._ef_fn, self.masses, self.dt, self.temperature_K,
+                self.friction,
+            )
+        if self.ensemble == 'nvt':
+            return integrate.make_nose_hoover_step(
+                self._ef_fn, self.masses, self.dt, self.temperature_K,
+                self.tdamp,
+            )
+        raise ValueError(self.ensemble)
+
+    # -- run loop ------------------------------------------------------
+    def _compiled_chunk(self):
+        step = self._make_step()
+
+        @partial(jax.jit, static_argnames=('n_outer', 'k'))
+        def chunk(state: MDState, n_outer: int, k: int):
+            def outer(state, _):
+                nl = self._build_nl(state.pos)
+                e, f = self._ef_fn(state.pos, nl)
+                state = state._replace(forces=f, energy=e)
+
+                def inner(s, _):
+                    return step(s, nl), None
+
+                state, _ = jax.lax.scan(inner, state, None, length=k)
+                disp = mic_displacements(
+                    nl.ref_pos, state.pos, self.cell, self.inv_cell
+                )
+                max_disp2 = jnp.max(jnp.sum(disp * disp, axis=-1))
+                metrics = {
+                    'energy': state.energy,
+                    'temperature': integrate.temperature(state, self.masses),
+                    'overflow': nl.overflow,
+                    'max_disp2': max_disp2,
+                }
+                return state, metrics
+
+            return jax.lax.scan(outer, state, None, length=n_outer)
+
+        return chunk
+
+    def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
+        """Advance n_steps; returns per-rebuild-chunk metric arrays."""
+        k = self.rebuild_every
+        n_outer = max(1, n_steps // k)
+        while True:
+            chunk = self._compiled_chunk()
+            state, metrics = chunk(self.state, n_outer, k)
+            metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+            if metrics['overflow'].any():
+                self.e_cap = int(self.e_cap * 1.5 // 128 + 1) * 128
+                continue  # retry with bigger capacity from the same state
+            if (metrics['max_disp2'] > (0.5 * self.skin) ** 2).any():
+                # neighbor list went stale inside a chunk: tighten cadence
+                self.rebuild_every = max(1, self.rebuild_every // 2)
+                k = self.rebuild_every
+                n_outer = max(1, n_steps // k)
+                continue
+            self.state = state
+            if log:
+                for i in range(n_outer):
+                    log(i, {kk: v[i] for kk, v in metrics.items()})
+            return metrics

@@ -1,0 +1,106 @@
+"""Integrators (NVE velocity-Verlet, NVT Langevin BAOAB, NVT Nose-Hoover)
+as pure jit/scan-ready step functions.
+
+Replaces the LAMMPS Verlet::run -> pair->compute per-step round trip
+(SURVEY.md 3.4/3.5): the whole trajectory chunk is one XLA program; the
+model forward+grad, neighbor reuse, and the integrator all fuse.
+Units: eV / Angstrom / amu; dt in internal units (see md/units.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .units import kB
+
+
+class MDState(NamedTuple):
+    pos: jnp.ndarray        # (N, 3)
+    vel: jnp.ndarray        # (N, 3) internal units
+    forces: jnp.ndarray     # (N, 3) eV/A
+    energy: jnp.ndarray     # () eV
+    key: jnp.ndarray        # PRNG key
+    xi: jnp.ndarray         # () thermostat friction (nose-hoover)
+
+
+def kinetic_energy(state: MDState, masses) -> jnp.ndarray:
+    return 0.5 * jnp.sum(masses[:, None] * state.vel ** 2)
+
+
+def temperature(state: MDState, masses) -> jnp.ndarray:
+    n_dof = 3 * state.pos.shape[0]
+    return 2.0 * kinetic_energy(state, masses) / (n_dof * kB)
+
+
+def maxwell_boltzmann(key, masses, temp_K, dtype=jnp.float32):
+    n = masses.shape[0]
+    v = jax.random.normal(key, (n, 3), dtype=dtype)
+    v = v * jnp.sqrt(kB * temp_K / masses)[:, None].astype(dtype)
+    v = v - jnp.mean(v * masses[:, None], axis=0) / jnp.mean(masses)
+    return v
+
+
+def make_nve_step(ef_fn: Callable, masses, dt: float):
+    """ef_fn(pos, nl) -> (energy, forces)."""
+    inv_m = (1.0 / masses)[:, None]
+
+    def step(state: MDState, nl) -> MDState:
+        v_half = state.vel + 0.5 * dt * state.forces * inv_m
+        pos = state.pos + dt * v_half
+        energy, forces = ef_fn(pos, nl)
+        vel = v_half + 0.5 * dt * forces * inv_m
+        return state._replace(pos=pos, vel=vel, forces=forces, energy=energy)
+
+    return step
+
+
+def make_langevin_step(ef_fn: Callable, masses, dt: float, temp_K: float,
+                       friction: float):
+    """BAOAB Langevin; friction in 1/internal-time."""
+    inv_m = (1.0 / masses)[:, None]
+    c1 = jnp.exp(-friction * dt)
+    # per-atom noise amplitude
+    def step(state: MDState, nl) -> MDState:
+        key, sub = jax.random.split(state.key)
+        v = state.vel + 0.5 * dt * state.forces * inv_m          # B
+        pos = state.pos + 0.5 * dt * v                           # A
+        sigma = jnp.sqrt(kB * temp_K * (1 - c1 ** 2) / masses)[:, None]
+        noise = jax.random.normal(sub, v.shape, dtype=v.dtype)
+        v = c1 * v + sigma.astype(v.dtype) * noise               # O
+        pos = pos + 0.5 * dt * v                                 # A
+        energy, forces = ef_fn(pos, nl)
+        v = v + 0.5 * dt * forces * inv_m                        # B
+        return state._replace(pos=pos, vel=v, forces=forces,
+                              energy=energy, key=key)
+
+    return step
+
+
+def make_nose_hoover_step(ef_fn: Callable, masses, dt: float, temp_K: float,
+                          tdamp: float):
+    """Single Nose-Hoover thermostat (LAMMPS `fix nvt`-style, chain of 1)."""
+    inv_m = (1.0 / masses)[:, None]
+    n_dof = 3 * masses.shape[0]
+    Q = n_dof * kB * temp_K * tdamp ** 2
+
+    def thermo_half(vel, xi):
+        ke2 = jnp.sum(masses[:, None] * vel ** 2)
+        xi_dot = (ke2 - n_dof * kB * temp_K) / Q
+        xi = xi + 0.5 * dt * xi_dot
+        vel = vel * jnp.exp(-0.5 * dt * xi)
+        return vel, xi
+
+    def step(state: MDState, nl) -> MDState:
+        vel, xi = thermo_half(state.vel, state.xi)
+        v_half = vel + 0.5 * dt * state.forces * inv_m
+        pos = state.pos + dt * v_half
+        energy, forces = ef_fn(pos, nl)
+        vel = v_half + 0.5 * dt * forces * inv_m
+        vel, xi = thermo_half(vel, xi)
+        return state._replace(pos=pos, vel=vel, forces=forces,
+                              energy=energy, xi=xi)
+
+    return step

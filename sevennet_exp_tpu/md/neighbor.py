@@ -1,0 +1,141 @@
+"""On-device neighbor lists with static capacities (jit-friendly).
+
+Replaces the reference's per-step host-side neighbor rebuild
+(sevenn/train/dataload.py + LAMMPS lists in pair_e3gnn.cpp:157-195) with
+XLA-compiled construction: fixed edge capacity, overflow flag instead of
+dynamic growth -- the host bumps capacity and recompiles only on overflow.
+
+Two builders:
+  - dense: O(N^2) minimum-image; simple and fast up to a few thousand atoms
+  - cell list: O(N) binning for large systems
+
+Both require box >= 2*rcut in each direction (minimum-image convention);
+the host-side list (data/neighborlist.py) handles arbitrary small cells for
+single-point calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NeighborState(NamedTuple):
+    edge_idx: jnp.ndarray   # (2, E) int32; [0]=center i, [1]=neighbor j
+    valid: jnp.ndarray      # (E,) bool
+    overflow: jnp.ndarray   # () bool
+    ref_pos: jnp.ndarray    # (N, 3) positions at build time
+
+
+def mic_displacements(pos_i, pos_j, cell, inv_cell):
+    """Minimum-image pos_j - pos_i for a (possibly triclinic) cell."""
+    d = pos_j - pos_i
+    frac = d @ inv_cell
+    frac = frac - jnp.round(frac)
+    return frac @ cell
+
+
+@partial(jax.jit, static_argnames=('e_cap',))
+def dense_neighbor_list(pos, cell, cutoff, e_cap: int) -> NeighborState:
+    n = pos.shape[0]
+    inv_cell = jnp.linalg.inv(cell)
+    d = mic_displacements(pos[:, None, :], pos[None, :, :], cell, inv_cell)
+    d2 = jnp.sum(d * d, axis=-1)
+    mask = (d2 < cutoff * cutoff) & ~jnp.eye(n, dtype=bool)
+    flat = mask.reshape(-1)
+    count = jnp.sum(flat)
+    (idx,) = jnp.nonzero(flat, size=e_cap, fill_value=0)
+    i = (idx // n).astype(jnp.int32)
+    j = (idx % n).astype(jnp.int32)
+    valid = flat[idx]
+    return NeighborState(
+        edge_idx=jnp.stack([i, j]),
+        valid=valid,
+        overflow=count > e_cap,
+        ref_pos=pos,
+    )
+
+
+@partial(jax.jit, static_argnames=('e_cap', 'grid', 'cell_cap'))
+def cell_list_neighbor_list(
+    pos, cell, cutoff, e_cap: int, grid, cell_cap: int
+) -> NeighborState:
+    """O(N) binned neighbor list on a fractional grid.
+
+    grid: static (nx, ny, nz) with nx >= 3 and cell-width >= cutoff along
+    each (fractional) axis; cell_cap: max atoms per bin.
+    """
+    n = pos.shape[0]
+    nx, ny, nz = grid
+    nbins = nx * ny * nz
+    inv_cell = jnp.linalg.inv(cell)
+    frac = (pos @ inv_cell) % 1.0
+    gx = jnp.clip((frac[:, 0] * nx).astype(jnp.int32), 0, nx - 1)
+    gy = jnp.clip((frac[:, 1] * ny).astype(jnp.int32), 0, ny - 1)
+    gz = jnp.clip((frac[:, 2] * nz).astype(jnp.int32), 0, nz - 1)
+    bin_id = (gx * ny + gy) * nz + gz
+
+    # bucket atoms into bins (stable order by atom index)
+    order = jnp.argsort(bin_id)
+    sorted_bins = bin_id[order]
+    # position within bin
+    rank = jnp.arange(n) - jnp.searchsorted(sorted_bins, sorted_bins, side='left')
+    bins = jnp.full((nbins, cell_cap), n, dtype=jnp.int32)  # n = sentinel
+    bin_overflow = jnp.any(rank >= cell_cap)
+    rank_c = jnp.clip(rank, 0, cell_cap - 1)
+    bins = bins.at[sorted_bins, rank_c].set(order.astype(jnp.int32))
+    counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), bin_id, nbins)
+
+    # candidate neighbors: atoms in the 27 adjacent bins
+    offs = jnp.array(
+        [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)],
+        dtype=jnp.int32,
+    )
+    cand_bx = (gx[:, None] + offs[None, :, 0]) % nx
+    cand_by = (gy[:, None] + offs[None, :, 1]) % ny
+    cand_bz = (gz[:, None] + offs[None, :, 2]) % nz
+    cand_bin = (cand_bx * ny + cand_by) * nz + cand_bz       # (N, 27)
+    cand = bins[cand_bin].reshape(n, 27 * cell_cap)           # (N, 27*cap)
+
+    pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
+    d = mic_displacements(pos[:, None, :], pos_pad[cand], cell, inv_cell)
+    d2 = jnp.sum(d * d, axis=-1)
+    ok = (cand < n) & (d2 < cutoff * cutoff)
+    ok = ok & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
+
+    flat = ok.reshape(-1)
+    count = jnp.sum(flat)
+    (idx,) = jnp.nonzero(flat, size=e_cap, fill_value=0)
+    i = (idx // (27 * cell_cap)).astype(jnp.int32)
+    j = cand.reshape(-1)[idx].astype(jnp.int32)
+    valid = flat[idx]
+    j = jnp.where(valid, j, 0)
+    return NeighborState(
+        edge_idx=jnp.stack([i, j]),
+        valid=valid,
+        overflow=(count > e_cap) | bin_overflow,
+        ref_pos=pos,
+    )
+
+
+def choose_grid(cell: np.ndarray, cutoff: float):
+    """Static grid dims: bins at least `cutoff` wide along each axis
+    (measured as plane-to-plane distance)."""
+    cell = np.asarray(cell, dtype=np.float64)
+    vol = abs(np.linalg.det(cell))
+    dims = []
+    for i in range(3):
+        j, k = (i + 1) % 3, (i + 2) % 3
+        width = vol / np.linalg.norm(np.cross(cell[j], cell[k]))
+        dims.append(max(1, int(width / cutoff)))
+    return tuple(min(d, 64) for d in dims)
+
+
+def needs_rebuild(nl: NeighborState, pos, cell, inv_cell, skin: float):
+    """True when an atom moved more than skin/2 since the last build."""
+    d = mic_displacements(nl.ref_pos, pos, cell, inv_cell)
+    return jnp.max(jnp.sum(d * d, axis=-1)) > (0.5 * skin) ** 2

