@@ -1,0 +1,85 @@
+"""Benchmark: 7net-0 NVT molecular dynamics throughput (ns/day).
+
+Tracked metric (BASELINE.json): ns/day for 7net-0 NVT; north star is
+>= 50 ns/day at 100k atoms on v5e-8. This single-chip bench runs the
+1k-atom configuration (dt = 2 fs, Nose-Hoover NVT) and reports
+vs_baseline as value / 50.0 against that north-star number.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from sevennet_exp_tpu.data.graph import Atoms
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+    from sevennet_exp_tpu.presets import sevennet_0_config
+
+    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    dt_fs = 2.0
+
+    # NaCl rocksalt supercell ~ n_target atoms
+    a = 5.63
+    reps = max(2, round((n_target / 8) ** (1 / 3)))
+    rng = np.random.default_rng(0)
+    base = np.array([
+        [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+        [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5],
+    ])
+    zs = [11, 11, 11, 11, 17, 17, 17, 17]
+    fracs, zlist = [], []
+    for i in range(reps):
+        for j in range(reps):
+            for k in range(reps):
+                for b, z in zip(base, zs):
+                    fracs.append((b + [i, j, k]) / reps)
+                    zlist.append(z)
+    cell = np.eye(3) * a * reps
+    pos = np.array(fracs) @ cell
+    pos += rng.normal(scale=0.02, size=pos.shape)
+    atoms = Atoms(
+        atomic_numbers=np.array(zlist), pos=pos, cell=cell,
+        pbc=np.array([True] * 3),
+    )
+    n_atoms = len(atoms)
+
+    config = sevennet_0_config(species=['Na', 'Cl'])
+    model = build_e3_equivariant_model(config)
+    params, _ = model.init(jax.random.PRNGKey(0))
+
+    md = MolecularDynamics(
+        model, params, atoms, dt_fs=dt_fs, temperature_K=300.0,
+        ensemble='nvt', rebuild_every=10, seed=0,
+    )
+
+    # warmup: compile + settle
+    md.run(20)
+    jax.block_until_ready(md.state.pos)
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    md.run(n_steps)
+    jax.block_until_ready(md.state.pos)
+    dt_wall = time.perf_counter() - t0
+
+    steps_per_s = n_steps / dt_wall
+    ns_day = steps_per_s * dt_fs * 1e-6 * 86400.0
+    print(json.dumps({
+        'metric': f'md_ns_per_day_7net0_nvt_{n_atoms}atoms',
+        'value': round(ns_day, 3),
+        'unit': 'ns/day',
+        'vs_baseline': round(ns_day / 50.0, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -192,7 +192,7 @@ def convert_torch_state_dict(
             key = f'{name}.basis_function.coeffs'
             if key in sd:
                 params[name] = {'coeffs': f32(sd[key])}
-        elif isinstance(layer, L.IrrepsLinear):
+        elif isinstance(layer, (L.IrrepsLinear, L.EdgeLinearScatter)):
             params[name] = _convert_linear(layer.spec, f'{name}.linear', sd)
         elif isinstance(layer, L.SelfConnectionLinearIntro):
             params[name] = _convert_linear(layer.spec, f'{name}.linear', sd)

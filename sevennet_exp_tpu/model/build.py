@@ -193,6 +193,10 @@ def nequip_interaction_block(
     weight_nn = FullyConnectedNetSpec(
         hs=tuple(weight_nn_layers + [tp_spec.weight_numel]), act=act_radial
     )
+    si2_modal = num_modalities if use_modal_self_inter_outro else 0
+    # scatter-first keeps the per-edge program lean; the wide-message
+    # scatter is cheap relative to per-edge linears (profiled on v5e)
+    defer = False
     block.append((
         f'{t}_convolution',
         L.IrrepsConvolution(
@@ -200,21 +204,26 @@ def nequip_interaction_block(
             weight_nn=weight_nn,
             denominator=conv_denominator,
             train_denominator=train_conv_denominator,
+            defer_scatter=defer,
         ),
     ))
 
-    si2_modal = num_modalities if use_modal_self_inter_outro else 0
     si2_in = tp_spec.irreps_out
     if si2_modal > 1:
         si2_in = si2_in + Irreps(f'{si2_modal}x0e')
-    block.append((
-        f'{t}_self_interaction_2',
-        L.IrrepsLinear(
-            LinearSpec(si2_in, irreps_for_gate_in, biases=bias_in_linear),
-            key_in=KEY.NODE_FEATURE,
-            num_modalities=si2_modal,
-        ),
-    ))
+    si2_spec = LinearSpec(si2_in, irreps_for_gate_in, biases=bias_in_linear)
+    if defer:
+        block.append((
+            f'{t}_self_interaction_2', L.EdgeLinearScatter(si2_spec)
+        ))
+    else:
+        block.append((
+            f'{t}_self_interaction_2',
+            L.IrrepsLinear(
+                si2_spec, key_in=KEY.NODE_FEATURE,
+                num_modalities=si2_modal,
+            ),
+        ))
 
     block.append((f'{t}_self_connection_outro', L.SelfConnectionOutro()))
     block.append((f'{t}_equivariant_gate', L.EquivariantGate(gate_spec)))

@@ -24,6 +24,7 @@ import numpy as np
 
 from .. import _keys as KEY
 from ..irreps import Irreps
+from ..ops import pallas_tp
 from ..ops.radial import BesselBasis, PolynomialCutoff, XPLORCutoff
 from ..ops.spherical import spherical_harmonics
 from ..ops.scatter import scatter_sum
@@ -194,6 +195,10 @@ class IrrepsConvolution:
     key_filter: str = KEY.EDGE_ATTR
     key_weight_input: str = KEY.EDGE_EMBEDDING
     key_edge_idx: str = KEY.EDGE_IDX
+    # TPU optimization: leave messages per-edge so the following
+    # self_interaction_2 linear compresses them BEFORE aggregation
+    # (linear and scatter commute); cuts the scattered width ~7x.
+    defer_scatter: bool = False
 
     def init(self, key):
         p = {
@@ -208,16 +213,66 @@ class IrrepsConvolution:
 
     def apply(self, params, data):
         w = self.weight_nn.apply(params['weight_nn'], data[self.key_weight_input])
+        denom = params['denominator'].astype(w.dtype)
+        # fold 1/denominator into the per-edge weights: TP is linear in w,
+        # so this equals dividing the aggregated messages (convolution.py:133)
+        # while saving a full (E, msg_dim) elementwise pass
+        scale = 1.0 / denom
         if KEY.EDGE_MASK in data:
-            w = w * data[KEY.EDGE_MASK][..., None]
+            scale = scale * data[KEY.EDGE_MASK][..., None]
+        w = w * scale
         x = data[self.key_x]
         edge_idx = data[self.key_edge_idx]
         edge_src = edge_idx[1]
         edge_dst = edge_idx[0]
-        message = self.tp.apply(x[edge_src], data[self.key_filter], w)
-        out = scatter_sum(message, edge_dst, x.shape[0])
-        denom = params['denominator'].astype(out.dtype)
-        data[self.key_x] = out / denom
+        xg = x[edge_src]
+        sh = data[self.key_filter]
+        blk = (
+            pallas_tp.best_block(
+                xg.shape[0], 2 * pallas_tp.spec_row_bytes(self.tp)
+            )
+            if pallas_tp.is_enabled() else 0
+        )
+        if blk and xg.ndim == 2:
+            message = pallas_tp.make_fused_tp(self.tp, blk)(xg, sh, w)
+        else:
+            message = self.tp.apply(xg, sh, w)
+        if self.defer_scatter:
+            data['_edge_msg'] = message
+            data['_n_nodes'] = x.shape[0]
+        else:
+            data[self.key_x] = scatter_sum(message, edge_dst, x.shape[0])
+        return data
+
+
+@dataclass(frozen=True)
+class EdgeLinearScatter:
+    """self_interaction_2 applied per edge, then scatter-summed.
+
+    Numerically identical to scatter-then-linear (both are linear maps;
+    reference interaction_blocks.py:78-84 order), but the aggregated tensor
+    is the small post-linear width instead of the wide TP output -- the
+    dominant HBM saving of the conv block on TPU. Biases (per node in the
+    reference) are added after aggregation.
+    """
+    spec: LinearSpec
+    key_edge_idx: str = KEY.EDGE_IDX
+    key_out: str = KEY.NODE_FEATURE
+
+    def init(self, key):
+        p = self.spec.init(key)
+        return p, {k: True for k in p}
+
+    def apply(self, params, data):
+        msg = data.pop('_edge_msg')
+        n_nodes = data.pop('_n_nodes')
+        edge_dst = data[self.key_edge_idx][0]
+        y = self.spec.apply(params, msg, skip_bias=True)
+        out = scatter_sum(y, edge_dst, n_nodes)
+        bias = self.spec.bias_vector(params, out.dtype)
+        if bias is not None:
+            out = out + bias
+        data[self.key_out] = out
         return data
 
 

@@ -12,6 +12,16 @@ equivariant_gate.py). Normalization conventions match e3nn >= 0.5:
     in the forward pass (so stored weights are directly interchangeable with
     e3nn state dicts).
 
+TPU layout: features use **ir_mul** order -- within each (mul, ir) entry
+the flat index is m * mul + u, i.e. the multiplicity (up to 128 channels)
+is the minor/lane dimension. Linears then become (rows x mul) matmuls on
+the MXU, and Clebsch-Gordan contractions expand into a static list of
+nonzero-coefficient FMAs over (E, mul) arrays on the VPU -- no tiny
+3x5-shaped contractions. This is internal only: e3nn checkpoint weights
+are m-agnostic, so stored weights are unaffected (the opposite of e3nn's
+mul_ir layout, cf. cuEquivariance's layout option in the reference
+cue_helper.py).
+
 All specs are built once at model-construction time (static metadata +
 numpy constants); `apply` functions are pure and jit-friendly.
 """
@@ -86,15 +96,18 @@ class LinearSpec:
                     params[f'b{j}'] = jnp.zeros((mul,))
         return params
 
-    def apply(self, params: Params, x: Array) -> Array:
+    def apply(self, params: Params, x: Array, skip_bias: bool = False) -> Array:
+        """x: (..., dim) in ir_mul layout; one MXU matmul per path."""
         in_slices = self.irreps_in.slices()
+        lead = x.shape[:-1]
         out_blocks: List[Optional[Array]] = [None] * len(self.irreps_out)
         for n, (i, j, mi, mo, alpha) in enumerate(self.paths):
             dim = self.irreps_in[i].ir.dim
             xi = x[..., in_slices[i]]
-            xi = xi.reshape(xi.shape[:-1] + (mi, dim))
-            w = params[f'w{n}'] * alpha
-            o = jnp.einsum('...ui,uv->...vi', xi, w)
+            # (..., m, u) -> rows (...*m, u) @ (u, v)
+            xi = xi.reshape((-1, mi))
+            w = params[f'w{n}'].astype(x.dtype) * alpha
+            o = (xi @ w).reshape(lead + (dim, mo))
             if out_blocks[j] is None:
                 out_blocks[j] = o
             else:
@@ -103,11 +116,26 @@ class LinearSpec:
         for j, (mul, ir) in enumerate(self.irreps_out):
             blk = out_blocks[j]
             if blk is None:
-                blk = jnp.zeros(x.shape[:-1] + (mul, ir.dim), dtype=x.dtype)
-            if self.biases and ir == Irrep(0, 1) and f'b{j}' in params:
-                blk = blk + params[f'b{j}'][..., :, None]
-            outs.append(blk.reshape(blk.shape[:-2] + (mul * ir.dim,)))
+                blk = jnp.zeros(lead + (ir.dim, mul), dtype=x.dtype)
+            if (self.biases and not skip_bias and ir == Irrep(0, 1)
+                    and f'b{j}' in params):
+                blk = blk + params[f'b{j}'].astype(x.dtype)
+            outs.append(blk.reshape(lead + (mul * ir.dim,)))
         return jnp.concatenate(outs, axis=-1)
+
+    def bias_vector(self, params: Params, dtype) -> Optional[Array]:
+        """Full-width bias (ir_mul layout) or None."""
+        if not self.biases:
+            return None
+        pieces = []
+        any_bias = False
+        for j, (mul, ir) in enumerate(self.irreps_out):
+            if ir == Irrep(0, 1) and f'b{j}' in params:
+                pieces.append(params[f'b{j}'].astype(dtype))
+                any_bias = True
+            else:
+                pieces.append(jnp.zeros((mul * ir.dim,), dtype))
+        return jnp.concatenate(pieces) if any_bias else None
 
 
 # ---------------------------------------------------------------------------
@@ -175,36 +203,70 @@ class UVUTensorProductSpec:
             out.append(math.sqrt((2 * l3 + 1) / fan[k]))
         return out
 
+    def cg_nonzeros(self) -> List[Tuple[int, Tuple[Tuple[int, int, int, float], ...]]]:
+        """Per instruction: static list of nonzero CG entries (m, n, p, c)."""
+        alphas = self.alphas()
+        res = []
+        for n_i, (i1, i2, k) in enumerate(self.instructions):
+            ir1 = self.irreps_in1[i1].ir
+            ir2 = self.irreps_in2[i2].ir
+            ir3 = self.irreps_out[k].ir
+            C = wigner_3j(ir1.l, ir2.l, ir3.l) * alphas[n_i]
+            nz = []
+            for m in range(ir1.dim):
+                for n in range(ir2.dim):
+                    for p in range(ir3.dim):
+                        c = C[m, n, p]
+                        if abs(c) > 1e-12:
+                            nz.append((m, n, p, float(c)))
+            res.append((n_i, tuple(nz)))
+        return res
+
     def apply(self, x: Array, y: Array, w: Array) -> Array:
-        """x: (..., dim1), y: (..., dim2), w: (..., weight_numel)."""
+        """x: (..., dim1) ir_mul layout, y: (..., dim2) SH (mul 1),
+        w: (..., weight_numel).
+
+        CG contraction as a static sum of scalar-coefficient FMAs over
+        (..., mul) arrays: VPU-shaped, no small-dim matmuls.
+        """
         s1 = self.irreps_in1.slices()
         s2 = self.irreps_in2.slices()
-        alphas = self.alphas()
+        nonzeros = self.cg_nonzeros()
         w_off = 0
-        blocks: List[Optional[Array]] = [None] * len(self.irreps_out)
-        for n, (i1, i2, k) in enumerate(self.instructions):
+        blocks: List[Optional[List[Optional[Array]]]] = [
+            None] * len(self.irreps_out)
+        for (n_i, nz), (i1, i2, k) in zip(nonzeros, self.instructions):
             mul1, ir1 = self.irreps_in1[i1]
-            mul2, ir2 = self.irreps_in2[i2]
             mul3, ir3 = self.irreps_out[k]
-            assert mul2 == 1, 'uvu filter with mul>1 not supported'
-            C = jnp.asarray(
-                wigner_3j(ir1.l, ir2.l, ir3.l) * alphas[n], dtype=x.dtype
-            )
-            x1 = x[..., s1[i1]]
-            x1 = x1.reshape(x1.shape[:-1] + (mul1, ir1.dim))
-            y2 = y[..., s2[i2]]
+            o1 = s1[i1].start
+            o2 = s2[i2].start
             wn = w[..., w_off:w_off + mul1]
             w_off += mul1
-            # kernel: K[..., m1, m3] = sum_m2 C[m1,m2,m3] y2[..., m2]
-            K = jnp.einsum('...n,mnp->...mp', y2, C)
-            o = jnp.einsum('...um,...mp->...up', x1, K)
-            o = o * wn[..., :, None]
-            blocks[k] = o if blocks[k] is None else blocks[k] + o
+            # group nonzeros by (m, n) so each x*y product is formed once
+            prod_cache = {}
+            acc: List[Optional[Array]] = [None] * ir3.dim
+            for (m, n, p, c) in nz:
+                key = (m, n)
+                if key not in prod_cache:
+                    xm = x[..., o1 + m * mul1: o1 + (m + 1) * mul1]
+                    yn = y[..., o2 + n: o2 + n + 1]
+                    prod_cache[key] = xm * yn
+                t = prod_cache[key] * c
+                acc[p] = t if acc[p] is None else acc[p] + t
+            # per-edge weights (same for all p)
+            outp = [
+                (a if a is not None
+                 else jnp.zeros(x.shape[:-1] + (mul1,), x.dtype)) * wn
+                for a in acc
+            ]
+            if blocks[k] is None:
+                blocks[k] = outp
+            else:
+                blocks[k] = [b + o for b, o in zip(blocks[k], outp)]
         outs = []
         for k, (mul, ir) in enumerate(self.irreps_out):
-            blk = blocks[k]
-            assert blk is not None
-            outs.append(blk.reshape(blk.shape[:-2] + (mul * ir.dim,)))
+            assert blocks[k] is not None
+            outs.extend(blocks[k])
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -269,28 +331,52 @@ class FullyConnectedTPSpec:
         return params
 
     def apply(self, params: Params, x: Array, y: Array) -> Array:
+        """ir_mul layout; CG expanded over nonzeros, weight contraction
+        ('uvw') as einsum rows x (u*v) @ (u*v, w) on the MXU."""
         s1 = self.irreps_in1.slices()
         s2 = self.irreps_in2.slices()
         alphas = self.alphas()
-        blocks: List[Optional[Array]] = [None] * len(self.irreps_out)
+        lead = x.shape[:-1]
+        # per output entry: list of ir3.dim accumulators of shape (..., mul3)
+        blocks: List[Optional[List[Optional[Array]]]] = [
+            None] * len(self.irreps_out)
         for n, (i1, i2, k) in enumerate(self.instructions):
             m1, ir1 = self.irreps_in1[i1]
             m2, ir2 = self.irreps_in2[i2]
             m3, ir3 = self.irreps_out[k]
-            C = jnp.asarray(
-                wigner_3j(ir1.l, ir2.l, ir3.l) * alphas[n], dtype=x.dtype
-            )
-            x1 = x[..., s1[i1]].reshape(x.shape[:-1] + (m1, ir1.dim))
-            y2 = y[..., s2[i2]].reshape(y.shape[:-1] + (m2, ir2.dim))
-            w = params[f'w{n}']
-            o = jnp.einsum('...um,...vn,uvw,mnp->...wp', x1, y2, w, C)
-            blocks[k] = o if blocks[k] is None else blocks[k] + o
+            C = wigner_3j(ir1.l, ir2.l, ir3.l) * alphas[n]
+            w = params[f'w{n}'].astype(x.dtype)
+            o1, o2 = s1[i1].start, s2[i2].start
+            acc: List[Optional[Array]] = [None] * ir3.dim
+            for m in range(ir1.dim):
+                xm = x[..., o1 + m * m1: o1 + (m + 1) * m1]
+                for n2 in range(ir2.dim):
+                    cvec = C[m, n2]
+                    if not np.any(np.abs(cvec) > 1e-12):
+                        continue
+                    yn = y[..., o2 + n2 * m2: o2 + (n2 + 1) * m2]
+                    # t[..., w'] = sum_{u,v} x[...,u] y[...,v] w[u,v,w']
+                    t = jnp.einsum('...u,...v,uvw->...w', xm, yn, w)
+                    for p in range(ir3.dim):
+                        c = float(cvec[p])
+                        if abs(c) > 1e-12:
+                            tc = t * c
+                            acc[p] = tc if acc[p] is None else acc[p] + tc
+            outp = [
+                a if a is not None
+                else jnp.zeros(lead + (m3,), x.dtype) for a in acc
+            ]
+            if blocks[k] is None:
+                blocks[k] = outp
+            else:
+                blocks[k] = [b + o for b, o in zip(blocks[k], outp)]
         outs = []
         for k, (mul, ir) in enumerate(self.irreps_out):
             blk = blocks[k]
             if blk is None:
-                blk = jnp.zeros(x.shape[:-1] + (mul, ir.dim), dtype=x.dtype)
-            outs.append(blk.reshape(blk.shape[:-2] + (mul * ir.dim,)))
+                blk = [jnp.zeros(lead + (mul,), x.dtype)
+                       for _ in range(ir.dim)]
+            outs.extend(blk)
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -381,10 +467,11 @@ class GateSpec:
             o = self.gated_offset
             g_off = 0
             for mul, ir in self.gated:
+                # ir_mul layout: (..., dim, mul) gated channel-wise
                 blk = x[..., o:o + mul * ir.dim]
-                blk = blk.reshape(blk.shape[:-1] + (mul, ir.dim))
+                blk = blk.reshape(blk.shape[:-1] + (ir.dim, mul))
                 g = gates[..., g_off:g_off + mul]
-                blk = blk * g[..., :, None]
+                blk = blk * g[..., None, :]
                 outs.append(blk.reshape(blk.shape[:-2] + (mul * ir.dim,)))
                 o += mul * ir.dim
                 g_off += mul

@@ -84,7 +84,9 @@ class Trainer:
 
     # -- pure step functions -------------------------------------------
     def _loss_fn(self, params, batch):
-        out = self.model.apply(params, batch)
+        from ..ops import pallas_tp
+        with pallas_tp.disabled():  # 2nd-order grads need the XLA path
+            out = self.model.apply(params, batch)
         tot, parts = total_loss(self.criterion, self.loss_specs, out)
         stats = batch_metric_stats(self.metrics, out, tot)
         return tot, stats

@@ -136,9 +136,12 @@ def test_padding_invariance():
         np.asarray(out_t[KEY.PRED_FORCE])[:n],
         np.asarray(out_p[KEY.PRED_FORCE])[:n], atol=2e-4,
     )
+    # stress only meaningful for the periodic graph (molecules have
+    # volume=eps -> garbage stress, same caveat as the reference
+    # model_build.py:395-396)
     np.testing.assert_allclose(
-        np.asarray(out_t[KEY.PRED_STRESS])[:3],
-        np.asarray(out_p[KEY.PRED_STRESS])[:3], atol=2e-5,
+        np.asarray(out_t[KEY.PRED_STRESS])[:1],
+        np.asarray(out_p[KEY.PRED_STRESS])[:1], atol=2e-5,
     )
 
 
