@@ -69,9 +69,22 @@ class SevenNetModel:
         data[KEY.NODE_FEATURE] = lut[data[KEY.ATOMIC_NUMBERS]]
         return data
 
-    def apply_energy(self, params, data: Dict[str, Array]) -> Dict[str, Array]:
+    def apply_energy(self, params, data: Dict[str, Array],
+                     halo_refresh=None) -> Dict[str, Array]:
+        """halo_refresh(x): refresh ghost rows of node arrays from the
+        domain-decomposition ring before every convolution (parallel MD;
+        the analog of the reference's between-segment forward_comm,
+        pair_e3gnn_parallel.cpp:355-387)."""
+        from . import layers as L
+
         data = self.preprocess(data)
         for name, layer in self.layers:
+            if halo_refresh is not None and isinstance(
+                layer, L.IrrepsConvolution
+            ):
+                data[KEY.NODE_FEATURE] = halo_refresh(
+                    data[KEY.NODE_FEATURE]
+                )
             data = layer.apply(params.get(name, {}), data)
         return data
 
