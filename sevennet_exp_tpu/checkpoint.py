@@ -192,7 +192,7 @@ def convert_torch_state_dict(
             key = f'{name}.basis_function.coeffs'
             if key in sd:
                 params[name] = {'coeffs': f32(sd[key])}
-        elif isinstance(layer, (L.IrrepsLinear, L.EdgeLinearScatter)):
+        elif isinstance(layer, L.IrrepsLinear):
             params[name] = _convert_linear(layer.spec, f'{name}.linear', sd)
         elif isinstance(layer, L.SelfConnectionLinearIntro):
             params[name] = _convert_linear(layer.spec, f'{name}.linear', sd)
@@ -213,6 +213,14 @@ def convert_torch_state_dict(
                 'weight_nn': wnn,
                 'denominator': f32(sd[f'{name}.denominator'].reshape(1)),
             }
+            if layer.si2 is not None:
+                # fused block: reference stores these under
+                # '{t}_self_interaction_2.linear.*'
+                si2_name = name.replace('_convolution',
+                                        '_self_interaction_2')
+                params[name]['si2'] = _convert_linear(
+                    layer.si2, f'{si2_name}.linear', sd
+                )
         elif isinstance(layer, (L.Rescale, L.SpeciesWiseRescale)):
             params[name] = {
                 'shift': f32(np.atleast_1d(sd[f'{name}.shift'])),

@@ -194,34 +194,37 @@ def nequip_interaction_block(
         hs=tuple(weight_nn_layers + [tp_spec.weight_numel]), act=act_radial
     )
     si2_modal = num_modalities if use_modal_self_inter_outro else 0
-    # scatter-first keeps the per-edge program lean; the wide-message
-    # scatter is cheap relative to per-edge linears (profiled on v5e)
-    defer = False
-    block.append((
-        f'{t}_convolution',
-        L.IrrepsConvolution(
-            tp=tp_spec,
-            weight_nn=weight_nn,
-            denominator=conv_denominator,
-            train_denominator=train_conv_denominator,
-            defer_scatter=defer,
-        ),
-    ))
-
-    si2_in = tp_spec.irreps_out
     if si2_modal > 1:
-        si2_in = si2_in + Irreps(f'{si2_modal}x0e')
-    si2_spec = LinearSpec(si2_in, irreps_for_gate_in, biases=bias_in_linear)
-    if defer:
+        # modal one-hot is per-node: keep self_interaction_2 a separate
+        # node-level linear (no conv fusion)
         block.append((
-            f'{t}_self_interaction_2', L.EdgeLinearScatter(si2_spec)
+            f'{t}_convolution',
+            L.IrrepsConvolution(
+                tp=tp_spec, weight_nn=weight_nn, si2=None,
+                denominator=conv_denominator,
+                train_denominator=train_conv_denominator,
+            ),
         ))
-    else:
+        si2_in = tp_spec.irreps_out + Irreps(f'{si2_modal}x0e')
         block.append((
             f'{t}_self_interaction_2',
             L.IrrepsLinear(
-                si2_spec, key_in=KEY.NODE_FEATURE,
+                LinearSpec(si2_in, irreps_for_gate_in,
+                           biases=bias_in_linear),
+                key_in=KEY.NODE_FEATURE,
                 num_modalities=si2_modal,
+            ),
+        ))
+    else:
+        si2_spec = LinearSpec(
+            tp_spec.irreps_out, irreps_for_gate_in, biases=bias_in_linear
+        )
+        block.append((
+            f'{t}_convolution',
+            L.IrrepsConvolution(
+                tp=tp_spec, weight_nn=weight_nn, si2=si2_spec,
+                denominator=conv_denominator,
+                train_denominator=train_conv_denominator,
             ),
         ))
 

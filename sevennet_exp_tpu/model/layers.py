@@ -24,7 +24,7 @@ import numpy as np
 
 from .. import _keys as KEY
 from ..irreps import Irreps
-from ..ops import pallas_tp
+from ..ops import pallas_conv, pallas_tp
 from ..ops.radial import BesselBasis, PolynomialCutoff, XPLORCutoff
 from ..ops.spherical import spherical_harmonics
 from ..ops.scatter import scatter_sum
@@ -180,99 +180,94 @@ class SelfConnectionOutro:
 
 @dataclass(frozen=True)
 class IrrepsConvolution:
-    """Message passing: TP(x[src], Y(r); MLP(radial)) scatter-summed on dst,
-    divided by `denominator` (reference sevenn/nn/convolution.py:29-137).
+    """Message passing + self_interaction_2, one block.
 
-    Note the reference index convention (convolution.py:125-127):
-    edge_index[1] is the message source (neighbor), edge_index[0] the
-    destination (center).
+    Reference semantics (sevenn/nn/convolution.py:29-137 then
+    interaction_blocks.py:78-84): msg = TP(x[src], Y(r); MLP(radial)),
+    x' = linear(scatter_sum(msg)/denominator). Index convention
+    (convolution.py:125-127): edge_index[1] = message source (neighbor),
+    edge_index[0] = destination (center).
+
+    Two execution paths, numerically identical (linear maps commute with
+    segment_sum; 1/denominator folds into the per-edge radial weights):
+      - XLA: TP -> scatter -> linear (2nd-order differentiable: training)
+      - Pallas fused (MD/inference): radial-MLP + TP + compressing linear
+        in one VMEM pass; only (E, d_in)/(E, d_out) touch HBM.
+    si2 params live under this layer's name as the 'si2' subtree.
     """
     tp: UVUTensorProductSpec
     weight_nn: FullyConnectedNetSpec
+    si2: Optional[LinearSpec]
     denominator: float
     train_denominator: bool = False
     key_x: str = KEY.NODE_FEATURE
     key_filter: str = KEY.EDGE_ATTR
     key_weight_input: str = KEY.EDGE_EMBEDDING
     key_edge_idx: str = KEY.EDGE_IDX
-    # TPU optimization: leave messages per-edge so the following
-    # self_interaction_2 linear compresses them BEFORE aggregation
-    # (linear and scatter commute); cuts the scattered width ~7x.
-    defer_scatter: bool = False
 
     def init(self, key):
+        k1, k2 = jax.random.split(key)
         p = {
-            'weight_nn': self.weight_nn.init(key),
+            'weight_nn': self.weight_nn.init(k1),
             'denominator': jnp.array([self.denominator], dtype=jnp.float32),
         }
         mask = {
             'weight_nn': {k: True for k in p['weight_nn']},
             'denominator': self.train_denominator,
         }
+        if self.si2 is not None:
+            si2_p = self.si2.init(k2)
+            p['si2'] = si2_p
+            mask['si2'] = {k: True for k in si2_p}
         return p, mask
 
     def apply(self, params, data):
-        w = self.weight_nn.apply(params['weight_nn'], data[self.key_weight_input])
-        denom = params['denominator'].astype(w.dtype)
-        # fold 1/denominator into the per-edge weights: TP is linear in w,
-        # so this equals dividing the aggregated messages (convolution.py:133)
-        # while saving a full (E, msg_dim) elementwise pass
-        scale = 1.0 / denom
-        if KEY.EDGE_MASK in data:
-            scale = scale * data[KEY.EDGE_MASK][..., None]
-        w = w * scale
         x = data[self.key_x]
         edge_idx = data[self.key_edge_idx]
         edge_src = edge_idx[1]
         edge_dst = edge_idx[0]
         xg = x[edge_src]
         sh = data[self.key_filter]
-        blk = (
-            pallas_tp.best_block(
-                xg.shape[0], 2 * pallas_tp.spec_row_bytes(self.tp)
-            )
-            if pallas_tp.is_enabled() else 0
+        emb = data[self.key_weight_input]
+        denom = params['denominator'].astype(x.dtype)
+        scale = jnp.ones((xg.shape[0], 1), x.dtype) / denom
+        if KEY.EDGE_MASK in data:
+            scale = scale * data[KEY.EDGE_MASK][..., None]
+
+        use_fused = (
+            self.si2 is not None
+            and pallas_conv.is_enabled()
+            and xg.ndim == 2
+            and xg.shape[0] % 256 == 0
+            and len(self.weight_nn.hs) == 4
+            and not self.si2.biases
         )
-        if blk and xg.ndim == 2:
-            message = pallas_tp.make_fused_tp(self.tp, blk)(xg, sh, w)
+        if use_fused:
+            mlp_ws = tuple(
+                params['weight_nn'][f'w{i}'].astype(x.dtype)
+                for i in range(len(self.weight_nn.hs) - 1)
+            )
+            si2_ws = tuple(
+                params['si2'][f'w{n}'].astype(x.dtype)
+                for n in range(len(self.si2.paths))
+            )
+            fused, _ = pallas_conv.make_fused_conv(
+                self.tp, self.weight_nn, self.si2
+            )
+            y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
+            out = scatter_sum(y, edge_dst, x.shape[0])
         else:
+            w = self.weight_nn.apply(params['weight_nn'], emb) * scale
             message = self.tp.apply(xg, sh, w)
-        if self.defer_scatter:
-            data['_edge_msg'] = message
-            data['_n_nodes'] = x.shape[0]
-        else:
-            data[self.key_x] = scatter_sum(message, edge_dst, x.shape[0])
-        return data
-
-
-@dataclass(frozen=True)
-class EdgeLinearScatter:
-    """self_interaction_2 applied per edge, then scatter-summed.
-
-    Numerically identical to scatter-then-linear (both are linear maps;
-    reference interaction_blocks.py:78-84 order), but the aggregated tensor
-    is the small post-linear width instead of the wide TP output -- the
-    dominant HBM saving of the conv block on TPU. Biases (per node in the
-    reference) are added after aggregation.
-    """
-    spec: LinearSpec
-    key_edge_idx: str = KEY.EDGE_IDX
-    key_out: str = KEY.NODE_FEATURE
-
-    def init(self, key):
-        p = self.spec.init(key)
-        return p, {k: True for k in p}
-
-    def apply(self, params, data):
-        msg = data.pop('_edge_msg')
-        n_nodes = data.pop('_n_nodes')
-        edge_dst = data[self.key_edge_idx][0]
-        y = self.spec.apply(params, msg, skip_bias=True)
-        out = scatter_sum(y, edge_dst, n_nodes)
-        bias = self.spec.bias_vector(params, out.dtype)
+            agg = scatter_sum(message, edge_dst, x.shape[0])
+            if self.si2 is None:
+                data[self.key_x] = agg
+                return data
+            out = self.si2.apply(params['si2'], agg, skip_bias=True)
+        bias = self.si2.bias_vector(params['si2'], out.dtype)
         if bias is not None:
             out = out + bias
-        data[self.key_out] = out
+        data[self.key_x] = out
         return data
 
 

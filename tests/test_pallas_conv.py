@@ -1,0 +1,50 @@
+"""Fused conv-block kernel (MLP+TP+si2) == XLA path, values and force
+gradients, interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sevennet_exp_tpu._keys as KEY
+from sevennet_exp_tpu.data.graph import collate_graphs, unlabeled_atoms_to_graph
+from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+from sevennet_exp_tpu.ops import pallas_conv, pallas_tp
+
+from samples import nacl_bulk, tiny_model_config
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pallas_conv.set_interpret(True)
+    pallas_tp.set_interpret(True)
+    yield
+    pallas_conv.set_interpret(False)
+    pallas_tp.set_interpret(False)
+    pallas_tp.enable(False)
+
+
+def test_fused_conv_matches_xla_model():
+    model = build_e3_equivariant_model(tiny_model_config())
+    params, _ = model.init(jax.random.PRNGKey(0))
+    g = unlabeled_atoms_to_graph(nacl_bulk(), 4.0)
+    b = collate_graphs([g], n_edge=256)  # % 256 == 0 -> fused eligible
+    data = {k: jnp.asarray(v) for k, v in b.items()}
+
+    pallas_tp.enable(False)
+    out_ref = model.apply(params, dict(data))
+    pallas_tp.enable(True)
+    out_fused = model.apply(params, dict(data))
+
+    np.testing.assert_allclose(
+        np.asarray(out_ref[KEY.PRED_TOTAL_ENERGY]),
+        np.asarray(out_fused[KEY.PRED_TOTAL_ENERGY]), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref[KEY.PRED_FORCE]),
+        np.asarray(out_fused[KEY.PRED_FORCE]), atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref[KEY.PRED_STRESS]),
+        np.asarray(out_fused[KEY.PRED_STRESS]), atol=1e-3,
+    )
