@@ -62,6 +62,12 @@ def neighbor_list(
     if len(pbc) == 1:
         pbc = pbc * 3
 
+    # native C++ cell-list builder (runtime/neighbor.cpp) when available
+    from .native import native_neighbor_list
+    res = native_neighbor_list(pos, cell, pbc, cutoff)
+    if res is not None:
+        return res
+
     if any(pbc):
         # wrap positions into the home cell along periodic axes for robust
         # image counting (keeps results identical: vectors recomputed below)

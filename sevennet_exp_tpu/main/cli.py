@@ -1,0 +1,171 @@
+"""Console entry points (reference sevenn/main/*, pyproject.toml:36-43).
+
+Seven commands with the same names/flags semantics:
+  sevenn              train from input.yaml
+  sevenn_preset       print a preset yaml
+  sevenn_graph_build  preprocess structure files into sevenn_data/
+  sevenn_inference    evaluate a checkpoint on structures -> csv dir
+  sevenn_get_model    deploy a checkpoint as a serving artifact
+  sevenn_cp           checkpoint summary / yaml generation
+  sevenn_patch_lammps explain the TPU serving path (no LAMMPS patching;
+                      see runtime/ for the C++ PJRT host driver)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main_sevenn(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn', description='train a SevenNet-TPU potential'
+    )
+    p.add_argument('input_yaml', help='input.yaml (model/train/data)')
+    p.add_argument('-w', '--working_dir', default=os.getcwd())
+    p.add_argument('-s', '--screen', action='store_true',
+                   help='also print log to stdout')
+    p.add_argument('-d', '--distributed', action='store_true',
+                   help='data-parallel over all visible devices')
+    p.add_argument('--seed', type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..logger import Logger
+    from ..parse_input import read_config_yaml
+    from ..scripts.train import train_v2
+    from .. import _keys as KEY
+
+    Logger(screen=args.screen)
+    config = read_config_yaml(args.input_yaml)
+    if args.seed is not None:
+        config[KEY.RANDOM_SEED] = args.seed
+    if args.distributed:
+        config[KEY.IS_DDP] = True
+    train_v2(config, args.working_dir)
+
+
+def main_preset(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_preset', description='print a preset input yaml'
+    )
+    p.add_argument('preset', choices=[
+        'base', 'fine_tune', 'sevennet-0', 'sevennet-l3i5', 'multi_modal',
+    ])
+    args = p.parse_args(argv)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'presets', f'{args.preset}.yaml',
+    )
+    with open(path) as f:
+        print(f.read())
+
+
+def main_graph_build(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_graph_build',
+        description='preprocess structure files into sevenn_data/',
+    )
+    p.add_argument('source', nargs='+')
+    p.add_argument('cutoff', type=float)
+    p.add_argument('-o', '--out', default=os.getcwd())
+    p.add_argument('-n', '--name', default='graph')
+    args = p.parse_args(argv)
+
+    from ..data.dataset import SevenNetGraphDataset
+
+    ds = SevenNetGraphDataset(
+        cutoff=args.cutoff, root=args.out, files=args.source,
+        processed_name=args.name, force_reload=True,
+    )
+    print(f'{len(ds)} graphs -> {ds.processed_path}')
+    for k, v in ds.statistics.items():
+        if not k.startswith('_') and isinstance(v, dict) and 'mean' in v:
+            print(f'{k}: mean {v["mean"]:.6f} std {v["std"]:.6f}')
+
+
+def main_inference(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_inference',
+        description='evaluate a checkpoint on structure files',
+    )
+    p.add_argument('checkpoint')
+    p.add_argument('target', nargs='+')
+    p.add_argument('-o', '--output', default='sevenn_infer_result')
+    p.add_argument('-b', '--batch', type=int, default=4)
+    p.add_argument('-m', '--modal', default=None)
+    args = p.parse_args(argv)
+
+    from ..scripts.inference import inference
+
+    inference(args.checkpoint, args.target, args.output,
+              batch_size=args.batch, modal=args.modal)
+    print(f'results written to {args.output}')
+
+
+def main_get_model(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_get_model',
+        description='deploy a checkpoint as a serving artifact',
+    )
+    p.add_argument('checkpoint')
+    p.add_argument('-o', '--output', default=None)
+    p.add_argument('-p', '--parallel', action='store_true')
+    args = p.parse_args(argv)
+
+    from ..scripts.deploy import deploy, deploy_parallel
+
+    if args.parallel:
+        out = deploy_parallel(
+            args.checkpoint, args.output or 'deployed_parallel'
+        )
+    else:
+        out = deploy(args.checkpoint, args.output or 'deployed_serial')
+    print(f'deployed to {out}')
+
+
+def main_cp(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_cp', description='checkpoint inspection tool'
+    )
+    p.add_argument('checkpoint')
+    p.add_argument('--yaml', action='store_true',
+                   help='print reproduce yaml')
+    p.add_argument('--continue-yaml', dest='cont', action='store_true',
+                   help='print continue yaml')
+    args = p.parse_args(argv)
+
+    import yaml as _yaml
+
+    from ..checkpoint import SevenNetCheckpoint
+
+    cp = SevenNetCheckpoint(args.checkpoint)
+    if args.yaml or args.cont:
+        print(_yaml.safe_dump(
+            cp.yaml_dict('continue' if args.cont else 'reproduce'),
+            default_flow_style=False,
+        ))
+        return
+    cfg = cp.config
+    print(f'checkpoint: {cp.checkpoint_path}')
+    print(f'epoch: {cp.epoch}')
+    for k in ('cutoff', 'channel', 'lmax', 'is_parity',
+              'num_convolution_layer', 'irreps_manual',
+              'self_connection_type', '_number_of_species', 'version'):
+        if k in cfg:
+            print(f'{k}: {cfg[k]}')
+
+
+def main_patch_lammps(argv=None):
+    print(
+        'SevenNet-TPU serves MD natively (sevennet_exp_tpu.md / '
+        'sevennet_exp_tpu.parallel) instead of patching LAMMPS.\n'
+        'For coupling an external MD driver to TPU inference, use the '
+        'deployed artifact (sevenn_get_model) with the C++ PJRT host '
+        'under runtime/ (see runtime/README.md).'
+    )
+    return 0
+
+
+if __name__ == '__main__':
+    main_sevenn()

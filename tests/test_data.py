@@ -148,3 +148,30 @@ def test_train_v2_end_to_end(tmp_path):
     )
     model2, params2 = cp.build_model()
     assert model2.cutoff == 4.0
+
+
+def test_native_neighbor_matches_python():
+    """C++ cell-list builder (runtime/neighbor.cpp) == scipy reference."""
+    import os
+    from sevennet_exp_tpu.data import native as natmod
+    from sevennet_exp_tpu.data.native import native_neighbor_list
+
+    rng = np.random.default_rng(4)
+    cell = np.eye(3) * 9.0 + rng.normal(scale=0.4, size=(3, 3))
+    pos = rng.uniform(0, 9, size=(60, 3))
+    res = native_neighbor_list(pos, cell, [True] * 3, 4.0)
+    if res is None:
+        pytest.skip('native toolchain unavailable')
+    i1, j1, v1, s1 = res
+    os.environ['SEVENN_NO_NATIVE'] = '1'
+    natmod._TRIED, natmod._LIB = False, None
+    try:
+        i2, j2, v2, s2 = neighbor_list(pos, cell, [True] * 3, 4.0)
+    finally:
+        os.environ.pop('SEVENN_NO_NATIVE')
+        natmod._TRIED, natmod._LIB = False, None
+    k1 = set(zip(i1.tolist(), j1.tolist(),
+                 map(tuple, s1.astype(int).tolist())))
+    k2 = set(zip(i2.tolist(), j2.tolist(),
+                 map(tuple, s2.astype(int).tolist())))
+    assert k1 == k2
