@@ -86,8 +86,9 @@ class MolecularDynamics:
         vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
         density = n / vol
         est = density * 4.19 * self.build_cutoff ** 3 * 1.4 + 16
+        # multiple of 256 so the fused pallas conv path is eligible
         self.e_cap = edge_capacity or int(
-            np.ceil(n * est / 128.0) * 128
+            np.ceil(n * est / 256.0) * 256
         )
         self.cell_cap = int(np.ceil(
             density * np.prod(self._cell_widths(np.asarray(atoms.cell))

@@ -273,10 +273,16 @@ def make_fused_conv(
                     dw_acc = t if dw_acc is None else dw_acc + t
             if dw_acc is not None:
                 dw_eff_cols[(wo, mul)] = dw_acc
-        # assemble dw_eff -> demb through the MLP
-        dw_eff = jnp.zeros((g_ref.shape[0], w_numel), jnp.float32)
-        for (wo, mul), v in dw_eff_cols.items():
-            dw_eff = dw_eff.at[:, wo:wo + mul].set(v)
+        # assemble dw_eff -> demb through the MLP (concat in column order;
+        # pallas TPU has no scatter primitive)
+        pieces = []
+        for p_ins in plan:
+            key = (p_ins['w_off'], p_ins['mul'])
+            v = dw_eff_cols.get(key)
+            if v is None:
+                v = jnp.zeros((g_ref.shape[0], p_ins['mul']), jnp.float32)
+            pieces.append(v)
+        dw_eff = jnp.concatenate(pieces, axis=1)
         dw_rad = dw_eff * ms
         dh1 = jnp.dot(dw_rad, (w2 / math.sqrt(w2.shape[0])).T,
                       preferred_element_type=jnp.float32)
