@@ -136,3 +136,91 @@ class SevenNetCalculator(_ASECalculator):
         if not self.results or atoms is not None:
             self.calculate(atoms)
         return self.results['stress']
+
+
+class D3Calculator(_ASECalculator):
+    """Standalone Grimme D3 dispersion calculator (JAX).
+
+    Equivalent surface to the reference's ``pair_style d3 rthr cn_thr
+    damping functional`` (pair_d3.cu:262-301), exposed as a Python
+    calculator instead of a LAMMPS-only pair style.
+    """
+
+    implemented_properties = ['energy', 'free_energy', 'forces', 'stress']
+
+    def __init__(self, damping: str = 'damp_bj', functional: str = 'pbe',
+                 rthr: float = 9000.0, cn_thr: float = 1600.0,
+                 dtype=np.float32, **kwargs):
+        from .ops.d3 import D3Dispersion
+        if _HAS_ASE:
+            _ASECalculator.__init__(self, **kwargs)
+        else:
+            self.results = {}
+        self.d3 = D3Dispersion(damping, functional, rthr, cn_thr, dtype)
+
+    def calculate_single(self, atoms) -> Dict[str, np.ndarray]:
+        at = _as_internal_atoms(atoms)
+        out = self.d3.compute(at.atomic_numbers, at.pos, at.cell, at.pbc)
+        sig = out['stress']  # dE/deps / V, 3x3
+        stress = np.array([sig[0, 0], sig[1, 1], sig[2, 2],
+                           sig[1, 2], sig[0, 2], sig[0, 1]])
+        return {
+            'energy': out['energy'],
+            'forces': out['forces'],
+            'stress': stress,
+        }
+
+    def calculate(self, atoms=None, properties=None, system_changes=None):
+        if _HAS_ASE and atoms is None:
+            atoms = self.atoms
+        if _HAS_ASE:
+            _ASECalculator.calculate(self, atoms, properties,
+                                     system_changes or _ase_all_changes)
+        res = self.calculate_single(atoms)
+        res['free_energy'] = res['energy']
+        self.results = res
+        return res
+
+    def get_potential_energy(self, atoms=None, **kw):
+        if not self.results or atoms is not None:
+            self.calculate(atoms)
+        return self.results['energy']
+
+    def get_forces(self, atoms=None):
+        if not self.results or atoms is not None:
+            self.calculate(atoms)
+        return self.results['forces']
+
+    def get_stress(self, atoms=None):
+        if not self.results or atoms is not None:
+            self.calculate(atoms)
+        return self.results['stress']
+
+
+class SevenNetD3Calculator(SevenNetCalculator):
+    """SevenNet potential + Grimme D3 dispersion, summed.
+
+    The Python equivalent of the reference's LAMMPS recipe
+    ``pair_style hybrid/overlay e3gnn d3 ...`` (pair_e3gnn/README.md):
+    one calculator, E/F/S are the sum of the GNN and dispersion terms.
+    """
+
+    def __init__(self, *args, damping: str = 'damp_bj',
+                 functional: str = 'pbe', rthr: float = 9000.0,
+                 cn_thr: float = 1600.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        from .ops.d3 import D3Dispersion
+        self.d3 = D3Dispersion(damping, functional, rthr, cn_thr, self.dtype)
+
+    def calculate_single(self, atoms) -> Dict[str, np.ndarray]:
+        res = SevenNetCalculator.calculate_single(self, atoms)
+        at = _as_internal_atoms(atoms)
+        d3 = self.d3.compute(at.atomic_numbers, at.pos, at.cell, at.pbc)
+        res['energy'] = res['energy'] + d3['energy']
+        res['energies'] = res['energies'] + d3['energy'] / len(at)
+        res['forces'] = res['forces'] + d3['forces']
+        sig = d3['stress']
+        res['stress'] = res['stress'] + np.array(
+            [sig[0, 0], sig[1, 1], sig[2, 2],
+             sig[1, 2], sig[0, 2], sig[0, 1]])
+        return res

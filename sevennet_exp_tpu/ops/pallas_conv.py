@@ -156,7 +156,7 @@ def make_fused_conv(
     tp_spec: UVUTensorProductSpec,
     mlp_spec: FullyConnectedNetSpec,
     si2_spec: LinearSpec,
-    block_e: int = 256,
+    block_e: int = 128,
 ):
     """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y (E, d_out).
 
