@@ -320,6 +320,29 @@ class SevenNetCheckpoint:
             }
         return out
 
+    def append_modal(self, new_modals, output_path: str) -> str:
+        """Append modalities to this checkpoint and save the widened one
+        (reference checkpoint.py:399-447). New modal one-hot rows start
+        at zero; original modalities are bit-preserved."""
+        from .scripts.convert_modality import append_modality_to_params
+        model, params = self.build_model()
+        new_config, new_params = append_modality_to_params(
+            self.config, params, list(new_modals))
+        save_checkpoint(
+            output_path, new_config, new_params, epoch=self.epoch)
+        return output_path
+
+    def to_single_modal(self, ref_modal: str, output_path: str) -> str:
+        """Collapse onto one modality and save (reference
+        convert_model_modality.get_single_modal_model_dct)."""
+        from .scripts.convert_modality import single_modal_params
+        model, params = self.build_model()
+        new_config, new_params = single_modal_params(
+            self.config, params, ref_modal)
+        save_checkpoint(
+            output_path, new_config, new_params, epoch=self.epoch)
+        return output_path
+
 
 def _patch_old_config(config: Dict) -> Dict:
     """Reference backward_compatibility.py:13-36."""

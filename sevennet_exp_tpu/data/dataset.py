@@ -161,9 +161,8 @@ class SevenNetGraphDataset:
         if path.endswith('.pkl'):
             with open(path, 'rb') as f:
                 return pickle.load(f)['graphs']
-        atoms_list = read_extxyz(path)
         return [atoms_to_graph(a, cutoff, allow_unlabeled=True)
-                for a in atoms_list]
+                for a in read_structure_file(path)]
 
     def _save(self):
         os.makedirs(self.processed_dir, exist_ok=True)
@@ -236,6 +235,26 @@ class SevenNetGraphDataset:
         return float(self.avg_num_neigh ** 0.5)
 
 
+def read_structure_file(path: str) -> List[Atoms]:
+    """Format dispatch (reference graph_dataset.py:511-540): VASP
+    structure_list index files, raw OUTCARs, and extxyz."""
+    base = os.path.basename(path)
+    if base.startswith('structure_list') or base.endswith('.structure_list'):
+        from .vasp import structure_list_reader
+        frames: List[Atoms] = []
+        for label, lst in structure_list_reader(path).items():
+            for at in lst:
+                if at.info is None:
+                    at.info = {}
+                at.info['label'] = label
+            frames.extend(lst)
+        return frames
+    if 'OUTCAR' in base:
+        from .vasp import read_outcar
+        return read_outcar(path)
+    return read_extxyz(path)
+
+
 def datasets_from_config(
     config: Dict[str, Any],
     working_dir: str = '.',
@@ -249,6 +268,7 @@ def datasets_from_config(
     ]
     assert KEY.LOAD_TRAINSET in dataset_keys, 'load_trainset_path required'
 
+    dataset_type = config.get(KEY.DATASET_TYPE, 'graph')
     datasets = {}
     for dk in dataset_keys:
         paths = config[dk]
@@ -257,11 +277,20 @@ def datasets_from_config(
         if isinstance(paths, str):
             paths = [paths]
         name = '_'.join(dk.split('_')[1:-1])
-        datasets[name] = SevenNetGraphDataset(
-            cutoff=config[KEY.CUTOFF], root=working_dir, files=paths,
-            processed_name=name,
-            **config.get(KEY.DATA_FORMAT_ARGS, {}),
-        )
+        if dataset_type == 'atoms':
+            from .atoms_dataset import SevenNetAtomsDataset
+            datasets[name] = SevenNetAtomsDataset(
+                cutoff=config[KEY.CUTOFF], files=paths,
+                **config.get(KEY.DATA_FORMAT_ARGS, {}),
+            )
+        elif dataset_type == 'graph':
+            datasets[name] = SevenNetGraphDataset(
+                cutoff=config[KEY.CUTOFF], root=working_dir, files=paths,
+                processed_name=name,
+                **config.get(KEY.DATA_FORMAT_ARGS, {}),
+            )
+        else:
+            raise ValueError(f'Unknown dataset type: {dataset_type}')
 
     train_set = datasets['trainset']
 
@@ -284,14 +313,16 @@ def datasets_from_config(
         rng = np.random.default_rng(config.get(KEY.RANDOM_SEED, 1))
         idx = rng.permutation(len(train_set))
         n_valid = max(1, int(len(train_set) * ratio))
-        valid_graphs = [train_set.graphs[i] for i in idx[:n_valid]]
-        train_graphs = [train_set.graphs[i] for i in idx[n_valid:]]
-        datasets['trainset'] = SevenNetGraphDataset(
-            cutoff=config[KEY.CUTOFF], root=working_dir,
-            graphs=train_graphs,
-        )
-        datasets['validset'] = SevenNetGraphDataset(
-            cutoff=config[KEY.CUTOFF], root=working_dir,
-            graphs=valid_graphs,
-        )
+        if hasattr(train_set, 'subset'):  # lazy atoms dataset
+            datasets['trainset'] = train_set.subset(idx[n_valid:])
+            datasets['validset'] = train_set.subset(idx[:n_valid])
+        else:
+            datasets['trainset'] = SevenNetGraphDataset(
+                cutoff=config[KEY.CUTOFF], root=working_dir,
+                graphs=[train_set.graphs[i] for i in idx[n_valid:]],
+            )
+            datasets['validset'] = SevenNetGraphDataset(
+                cutoff=config[KEY.CUTOFF], root=working_dir,
+                graphs=[train_set.graphs[i] for i in idx[:n_valid]],
+            )
     return datasets

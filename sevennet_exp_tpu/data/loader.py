@@ -28,17 +28,22 @@ class GraphLoader:
         n_edge: Optional[int] = None,
         drop_last: bool = False,
     ):
-        self.graphs = list(graphs)
+        if hasattr(graphs, 'estimated_sizes'):
+            # lazy atoms-backed dataset (SevenNetAtomsDataset): graphs are
+            # built per batch on access; sizes come from the estimate
+            self.graphs = graphs
+            sizes = graphs.estimated_sizes()
+        else:
+            self.graphs = list(graphs)
+            sizes = [
+                (int(g[KEY.NUM_ATOMS]), g[KEY.EDGE_IDX].shape[1])
+                for g in self.graphs
+            ]
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
-
         # global capacities: max over batches of (sum nodes, sum edges)
-        sizes = [
-            (int(g[KEY.NUM_ATOMS]), g[KEY.EDGE_IDX].shape[1])
-            for g in self.graphs
-        ]
         max_nodes = max_edges = 0
         for i in range(0, len(sizes), batch_size):
             chunk = sizes[i:i + batch_size]

@@ -133,6 +133,13 @@ def main_cp(argv=None):
                    help='print reproduce yaml')
     p.add_argument('--continue-yaml', dest='cont', action='store_true',
                    help='print continue yaml')
+    p.add_argument('--append-modal', nargs='+', metavar='NAME',
+                   help='append modalities, save to -o (reference '
+                        'sevenn_cp --append_modal)')
+    p.add_argument('--get-single-modal', metavar='NAME',
+                   help='collapse onto one modality, save to -o')
+    p.add_argument('-o', '--output', default=None,
+                   help='output checkpoint path for modal operations')
     args = p.parse_args(argv)
 
     import yaml as _yaml
@@ -140,6 +147,15 @@ def main_cp(argv=None):
     from ..checkpoint import SevenNetCheckpoint
 
     cp = SevenNetCheckpoint(args.checkpoint)
+    if args.append_modal or args.get_single_modal:
+        out = args.output or 'checkpoint_converted.pkl'
+        if args.append_modal:
+            cp.append_modal(args.append_modal, out)
+            print(f'appended modal(s) {args.append_modal} -> {out}')
+        else:
+            cp.to_single_modal(args.get_single_modal, out)
+            print(f'collapsed onto {args.get_single_modal!r} -> {out}')
+        return
     if args.yaml or args.cont:
         print(_yaml.safe_dump(
             cp.yaml_dict('continue' if args.cont else 'reproduce'),

@@ -90,6 +90,15 @@ def deploy(checkpoint: str, output_path: str = 'deployed_serial',
 
 
 def _export_stablehlo(model, params, output_path, n_node=64, n_edge=1024):
+    """Two artifacts for the C++ PJRT host (runtime/pjrt_driver.cpp):
+
+    - model.stablehlo        (params, data) signature, for re-use in JAX
+    - model_const.stablehlo  params baked in as constants; the C++ host
+                             feeds ONLY the data arrays (signature.yaml
+                             records their exact order/shape/dtype)
+    - compile_options.pb     serialized xla CompileOptionsProto, passed
+                             verbatim to PJRT_Client_Compile
+    """
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +121,44 @@ def _export_stablehlo(model, params, output_path, n_node=64, n_edge=1024):
     lowered = jax.jit(efs).lower(params, data)
     with open(os.path.join(output_path, 'model.stablehlo'), 'w') as f:
         f.write(lowered.as_text())
+
+    # params-as-constants flavor: flat data args in a fixed order so the
+    # C++ side needs no pytree logic
+    names = sorted(data)
+
+    def efs_const(*flat):
+        return efs(params, dict(zip(names, flat)))
+
+    flat_args = [data[k] for k in names]
+    lowered_c = jax.jit(efs_const).lower(*flat_args)
+    with open(os.path.join(output_path, 'model_const.stablehlo'), 'w') as f:
+        f.write(lowered_c.as_text())
+
+    try:
+        from jax._src.lib import xla_client
+        opts = xla_client.CompileOptions().SerializeAsString()
+        with open(os.path.join(output_path, 'compile_options.pb'),
+                  'wb') as f:
+            f.write(opts)
+    except Exception:  # noqa: BLE001 - proto layout is jax-version bound
+        pass
+
+    sig = {
+        'inputs': [
+            {'name': k, 'shape': list(np.shape(data[k])),
+             'dtype': str(np.asarray(data[k]).dtype)}
+            for k in names
+        ],
+        'outputs': [
+            {'name': 'energy', 'shape': [1], 'dtype': 'float32'},
+            {'name': 'forces', 'shape': [n_node, 3], 'dtype': 'float32'},
+            {'name': 'stress', 'shape': [1, 6], 'dtype': 'float32'},
+        ],
+        'n_node': n_node,
+        'n_edge': n_edge,
+    }
+    with open(os.path.join(output_path, 'signature.yaml'), 'w') as f:
+        yaml.safe_dump(sig, f, default_flow_style=False)
 
 
 def deploy_parallel(checkpoint: str,
