@@ -61,11 +61,13 @@ def main():
         ensemble='nvt', rebuild_every=10, seed=0,
     )
 
-    # warmup: compile + settle
-    md.run(20)
+    # warmup with the SAME call signature as the measured run: n_outer/k
+    # are static jit args, so a different warmup step count would leave
+    # the measured call to pay the XLA compile
+    n_steps = 200
+    md.run(n_steps)
     jax.block_until_ready(md.state.pos)
 
-    n_steps = 200
     t0 = time.perf_counter()
     md.run(n_steps)
     jax.block_until_ready(md.state.pos)

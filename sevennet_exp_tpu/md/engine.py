@@ -54,10 +54,20 @@ class MolecularDynamics:
         seed: int = 0,
         dtype=jnp.float32,
         edge_capacity: Optional[int] = None,
+        use_pallas: Optional[bool] = None,
     ):
         self.model = model
         self.params = params
         self.dtype = dtype
+        # fused pallas conv kernels: first-order differentiable (forces
+        # OK, training is not traced here) — default on when running on
+        # real TPU hardware
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = _jax.default_backend() not in ('cpu',)
+        if use_pallas:
+            from ..ops import pallas_tp
+            pallas_tp.enable(True)
         n = len(atoms)
         self.n = n
         self.Z = jnp.asarray(atoms.atomic_numbers, dtype=jnp.int32)
@@ -177,6 +187,19 @@ class MolecularDynamics:
         raise ValueError(self.ensemble)
 
     # -- run loop ------------------------------------------------------
+    def _chunk_cached(self):
+        """One jitted chunk closure per capacity configuration. Re-jitting
+        per run() would retrace and (over a remote/tunneled backend)
+        recompile every call — the compiled callable must be cached for
+        the jit cache to hit (static n_outer/k still key it)."""
+        key = (self.ensemble, self.e_cap, self.rebuild_every,
+               self.use_cell_list, self.cell_cap)
+        cached = getattr(self, '_chunk_key', None)
+        if cached != key:
+            self._chunk = self._compiled_chunk()
+            self._chunk_key = key
+        return self._chunk
+
     def _compiled_chunk(self):
         step = self._make_step()
 
@@ -212,7 +235,7 @@ class MolecularDynamics:
         k = self.rebuild_every
         n_outer = max(1, n_steps // k)
         while True:
-            chunk = self._compiled_chunk()
+            chunk = self._chunk_cached()
             state, metrics = chunk(self.state, n_outer, k)
             metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
             if metrics['overflow'].any():

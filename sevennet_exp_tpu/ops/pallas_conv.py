@@ -228,8 +228,11 @@ def make_fused_conv(
         )
         ms = ms_ref[...]
         w_eff = w_rad * ms
-        dxg_ref[...] = jnp.zeros_like(dxg_ref)
-        dsh_ref[...] = jnp.zeros_like(dsh_ref)
+        # register-resident accumulators, refs written ONCE at the end
+        # (per-term ref read-modify-writes made the bwd 4x slower than
+        # the fwd; mirror the fwd's out_acc pattern instead)
+        dxg_acc = {}   # (x_off + m*mul, mul) -> (B, mul)
+        dsh_acc = {}   # sh column index -> (B, 1)
         dw_eff_cols = {}
         for p_ins in plan:
             mul = p_ins['mul']
@@ -244,35 +247,57 @@ def make_fused_conv(
             oo = info['out_off']
             wn = w_eff[:, wo:wo + mul]
             dw_acc = None
+            xm_cache = {}
+            xy_cache = {}
+            sacc = {}  # n -> (B, mul) partial dsh, reduced ONCE at the end
             for p in range(p_ins['dim3']):
                 # gradient wrt (acc_p * wn): g_p @ Wk^T
                 gp = g_ref[:, oo + p * mo: oo + (p + 1) * mo]
                 gm = jnp.dot(gp, Wk.T,
                              preferred_element_type=jnp.float32)
+                gw = gm * wn
+                gxm_cache = {}
                 # recompute acc_p
                 acc_p = None
                 for (m, n, pp, c) in p_ins['nz']:
                     if pp != p:
                         continue
-                    xm = xg_ref[:, xo + m * mul: xo + (m + 1) * mul]
+                    if m not in xm_cache:
+                        xm_cache[m] = xg_ref[
+                            :, xo + m * mul: xo + (m + 1) * mul]
+                    xm = xm_cache[m]
                     yn = sh_ref[:, so + n: so + n + 1]
-                    t = xm * yn * c
+                    if (m, n) not in xy_cache:
+                        xy_cache[(m, n)] = xm * yn
+                    t = xy_cache[(m, n)] * c
                     acc_p = t if acc_p is None else acc_p + t
                     # dxg, dsh from gm * wn
-                    gw = gm * wn
-                    dxg_ref[:, xo + m * mul: xo + (m + 1) * mul] = (
-                        dxg_ref[:, xo + m * mul: xo + (m + 1) * mul]
-                        + gw * yn * c
-                    )
-                    dsh_ref[:, so + n: so + n + 1] = (
-                        dsh_ref[:, so + n: so + n + 1]
-                        + jnp.sum(gw * xm, axis=1, keepdims=True) * c
-                    )
+                    kx = (xo + m * mul, mul)
+                    v = gw * (yn * c)
+                    dxg_acc[kx] = v if kx not in dxg_acc else dxg_acc[kx] + v
+                    if m not in gxm_cache:
+                        gxm_cache[m] = gw * xm
+                    s = gxm_cache[m] * c
+                    sacc[n] = s if n not in sacc else sacc[n] + s
                 if acc_p is not None:
                     t = gm * acc_p
                     dw_acc = t if dw_acc is None else dw_acc + t
+            for n, v in sacc.items():
+                s = jnp.sum(v, axis=1, keepdims=True)
+                kn = so + n
+                dsh_acc[kn] = s if kn not in dsh_acc else dsh_acc[kn] + s
             if dw_acc is not None:
-                dw_eff_cols[(wo, mul)] = dw_acc
+                key = (wo, mul)
+                dw_eff_cols[key] = (
+                    dw_acc if key not in dw_eff_cols
+                    else dw_eff_cols[key] + dw_acc
+                )
+        dxg_ref[...] = jnp.zeros_like(dxg_ref)
+        for (off, mul), v in dxg_acc.items():
+            dxg_ref[:, off:off + mul] = dxg_ref[:, off:off + mul] + v
+        dsh_ref[...] = jnp.zeros_like(dsh_ref)
+        for n_col, v in dsh_acc.items():
+            dsh_ref[:, n_col:n_col + 1] = dsh_ref[:, n_col:n_col + 1] + v
         # assemble dw_eff -> demb through the MLP (concat in column order;
         # pallas TPU has no scatter primitive)
         pieces = []
@@ -328,6 +353,10 @@ def make_fused_conv(
             interpret=_INTERPRET,
         )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
 
+    # the bwd keeps dxg/dsh accumulators + the xm cache resident in
+    # VMEM, ~2x the fwd working set: halve its edge block
+    bwd_block = max(8, block_e // 2)
+
     def bwd_call(res, g):
         xg, sh, emb, ms, mlp_ws, si2_ws = res
         e = xg.shape[0]
@@ -340,12 +369,12 @@ def make_fused_conv(
                 jax.ShapeDtypeStruct((e, f), xg.dtype),
                 jax.ShapeDtypeStruct((e, r), xg.dtype),
             ),
-            grid=(e // block_e,),
+            grid=(e // bwd_block,),
             in_specs=(
-                _especs([d_out, d1, f, r, 1], block_e)
+                _especs([d_out, d1, f, r, 1], bwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
             ),
-            out_specs=tuple(_especs([d1, f, r], block_e)),
+            out_specs=tuple(_especs([d1, f, r], bwd_block)),
             interpret=_INTERPRET,
         )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws)
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
