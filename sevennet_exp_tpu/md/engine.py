@@ -95,11 +95,25 @@ class MolecularDynamics:
         # conservative per-atom neighbor estimate from density
         vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
         density = n / vol
-        est = density * 4.19 * self.build_cutoff ** 3 * 1.4 + 16
+        est = density * 4.19 * self.build_cutoff ** 3 * 1.15 + 8
         # multiple of 256 so the fused pallas conv path is eligible
         self.e_cap = edge_capacity or int(
             np.ceil(n * est / 256.0) * 256
         )
+        # two-tier edge lists: the Verlet list is built at cutoff+skin
+        # and reused for k steps, but the model only ever sees edges
+        # inside cutoff. Compacting to cutoff+buffer at rebuild time cuts
+        # the per-step conv work by the (cutoff+skin)^3/(cutoff+buffer)^3
+        # volume ratio; the chunk staleness check tightens to buffer/2 so
+        # no pair can cross into the cutoff undetected (cf. the
+        # reference's nedges*1.2 amortization, pair_e3gnn.cpp:267-273).
+        self.md_buffer = min(0.5, skin)
+        est_m = (density * 4.19 * (self.cutoff + self.md_buffer) ** 3
+                 * 1.15 + 8)
+        self.e_cap_model = int(np.ceil(n * est_m / 256.0) * 256)
+        if self.e_cap_model >= self.e_cap:
+            self.e_cap_model = self.e_cap
+            self.md_buffer = self.skin
         self.cell_cap = int(np.ceil(
             density * np.prod(self._cell_widths(np.asarray(atoms.cell))
                               / np.asarray(self.grid)) * 2.5 + 8
@@ -171,6 +185,30 @@ class MolecularDynamics:
             pos, self.cell, self.build_cutoff, self.e_cap
         )
 
+    def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
+        """Shrink the Verlet list to edges within cutoff+buffer (stable
+        partition by validity); the model's per-step work scales with
+        this capacity, not the build capacity."""
+        if self.e_cap_model >= self.e_cap:
+            return nl
+        vec = mic_displacements(
+            pos[nl.edge_idx[0]], pos[nl.edge_idx[1]],
+            self.cell, self.inv_cell,
+        )
+        r2 = jnp.sum(vec * vec, axis=-1)
+        keep = nl.valid & (r2 < (self.cutoff + self.md_buffer) ** 2)
+        order = jnp.argsort(jnp.logical_not(keep), stable=True)
+        idx = order[:self.e_cap_model]
+        overflow = nl.overflow | (
+            jnp.sum(keep) > self.e_cap_model
+        )
+        return NeighborState(
+            edge_idx=nl.edge_idx[:, idx],
+            valid=keep[idx],
+            overflow=overflow,
+            ref_pos=nl.ref_pos,
+        )
+
     def _make_step(self):
         if self.ensemble == 'nve':
             return integrate.make_nve_step(self._ef_fn, self.masses, self.dt)
@@ -192,8 +230,8 @@ class MolecularDynamics:
         per run() would retrace and (over a remote/tunneled backend)
         recompile every call — the compiled callable must be cached for
         the jit cache to hit (static n_outer/k still key it)."""
-        key = (self.ensemble, self.e_cap, self.rebuild_every,
-               self.use_cell_list, self.cell_cap)
+        key = (self.ensemble, self.e_cap, self.e_cap_model,
+               self.rebuild_every, self.use_cell_list, self.cell_cap)
         cached = getattr(self, '_chunk_key', None)
         if cached != key:
             self._chunk = self._compiled_chunk()
@@ -207,6 +245,7 @@ class MolecularDynamics:
         def chunk(state: MDState, n_outer: int, k: int):
             def outer(state, _):
                 nl = self._build_nl(state.pos)
+                nl = self._compact_nl(nl, state.pos)
                 e, f = self._ef_fn(state.pos, nl)
                 state = state._replace(forces=f, energy=e)
 
@@ -239,9 +278,13 @@ class MolecularDynamics:
             state, metrics = chunk(self.state, n_outer, k)
             metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
             if metrics['overflow'].any():
-                self.e_cap = int(self.e_cap * 1.5 // 128 + 1) * 128
+                self.e_cap = int(self.e_cap * 1.5 // 256 + 1) * 256
+                self.e_cap_model = min(
+                    self.e_cap,
+                    int(self.e_cap_model * 1.5 // 256 + 1) * 256,
+                )
                 continue  # retry with bigger capacity from the same state
-            if (metrics['max_disp2'] > (0.5 * self.skin) ** 2).any():
+            if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
                 # neighbor list went stale inside a chunk: tighten cadence
                 self.rebuild_every = max(1, self.rebuild_every // 2)
                 k = self.rebuild_every
