@@ -311,15 +311,22 @@ int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
     hb.dims = in_dims_flat + dim_off;
     hb.num_dims = static_cast<size_t>(in_ndims[i]);
     dim_off += in_ndims[i];
+    // kImmutableOnlyDuringCall: the plugin must copy synchronously
+    // inside the call. Lazy/batching proxies may defer transfers until
+    // an execute flush, so awaiting done_with_host_buffer here (as
+    // kImmutableUntilTransferCompletes would require) can deadlock.
     hb.host_buffer_semantics =
-        PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+        PJRT_HostBufferSemantics_kImmutableOnlyDuringCall;
     hb.device = e->owner->device;
     RETURN_IF_ERROR(api, api->PJRT_Client_BufferFromHostBuffer(&hb),
                     "BufferFromHostBuffer", -1);
     inputs[i] = hb.buffer;
-    if (!await_and_destroy(api, hb.done_with_host_buffer,
-                           "done_with_host_buffer")) {
-      return -1;
+    if (hb.done_with_host_buffer != nullptr) {
+      PJRT_Event_Destroy_Args ed;
+      std::memset(&ed, 0, sizeof(ed));
+      ed.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      ed.event = hb.done_with_host_buffer;
+      api->PJRT_Event_Destroy(&ed);
     }
   }
 
@@ -425,11 +432,14 @@ static std::string slurp(const std::string& path) {
 }
 
 int main(int argc, char** argv) {
+  setvbuf(stdout, nullptr, _IONBF, 0);
+  setvbuf(stderr, nullptr, _IONBF, 0);
   if (argc < 3) {
     std::fprintf(stderr, "usage: %s <pjrt_plugin.so> <artifact_dir>\n",
                  argv[0]);
     return 2;
   }
+  std::fprintf(stderr, "[demo] loading plugin %s\n", argv[1]);
   const std::string dir = argv[2];
   const char* opts_str = argc > 3 ? argv[3] : nullptr;
   void* client = sevenn_pjrt_init_with_options(argv[1], opts_str);
@@ -445,6 +455,8 @@ int main(int argc, char** argv) {
     std::fprintf(stderr, "missing %s/model_const.stablehlo\n", dir.c_str());
     return 1;
   }
+  std::fprintf(stderr, "[demo] client up; compiling %zu bytes\n",
+               code.size());
   void* exec = sevenn_pjrt_compile(client, code.data(),
                                    (int64_t)code.size(), opts.data(),
                                    (int64_t)opts.size());

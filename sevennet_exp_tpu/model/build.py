@@ -56,6 +56,33 @@ def init_edge_embedding(config) -> L.EdgeEmbedding:
     if config.get(KEY.LMAX_EDGE, -1) > 0:
         lmax_edge = config[KEY.LMAX_EDGE]
     parity = -1 if config[KEY.IS_PARITY] else 1
+
+    if config.get(KEY.MULTI_CUTOFF):
+        # per-layer cutoff radii (reference model_build.py:87-103);
+        # masked static edge list instead of per-cutoff filtered lists
+        cutoffs = sorted(set(float(c) for c in config[KEY.MULTI_CUTOFF]))
+        bases, envs = [], []
+        for c in cutoffs:
+            bases.append(BesselBasis(
+                cutoff=c,
+                num_basis=rbf_cfg.get(KEY.BESSEL_BASIS_NUM, 8),
+                trainable=rbf_cfg.get('trainable_coeff', True),
+            ))
+            if env_name == 'XPLOR':
+                # reference sets r_on = cutoff - 1 per sub-cutoff
+                # (edge_embedding.py:245-247)
+                envs.append(XPLORCutoff(cutoff=c, cutoff_on=c - 1.0))
+            else:
+                envs.append(PolynomialCutoff(
+                    cutoff=c, p=env_cfg.get(KEY.POLY_CUT_P, 6)))
+        return L.MultiCutoffEdgeEmbedding(
+            bases=tuple(bases),
+            cutoff_fns=tuple(envs),
+            lmax_edge=lmax_edge,
+            parity=parity,
+            normalize_sph=config.get(KEY._NORMALIZE_SPH, True),
+        )
+
     return L.EdgeEmbedding(
         basis=basis,
         cutoff_fn=env,
@@ -151,8 +178,12 @@ def nequip_interaction_block(
     use_modal_self_inter_intro: bool = False,
     use_modal_self_inter_outro: bool = False,
     num_modalities: int = 0,
+    key_weight_input: str = KEY.EDGE_EMBEDDING,
+    key_mask: str = KEY.EDGE_MASK,
 ) -> List[Tuple[str, Any]]:
-    """One NequIP block (reference sevenn/nn/interaction_blocks.py:12-88)."""
+    """One NequIP block (reference sevenn/nn/interaction_blocks.py:12-88).
+    key_weight_input/key_mask select per-layer cutoff channels under
+    multi_cutoff (reference interaction_blocks.py:54-60)."""
     block: List[Tuple[str, Any]] = []
     irreps_node_attr = Irreps(f'{num_species}x0e')
 
@@ -203,6 +234,8 @@ def nequip_interaction_block(
                 tp=tp_spec, weight_nn=weight_nn, si2=None,
                 denominator=conv_denominator,
                 train_denominator=train_conv_denominator,
+                key_weight_input=key_weight_input,
+                key_mask=key_mask,
             ),
         ))
         si2_in = tp_spec.irreps_out + Irreps(f'{si2_modal}x0e')
@@ -225,6 +258,8 @@ def nequip_interaction_block(
                 tp=tp_spec, weight_nn=weight_nn, si2=si2_spec,
                 denominator=conv_denominator,
                 train_denominator=train_conv_denominator,
+                key_weight_input=key_weight_input,
+                key_mask=key_mask,
             ),
         ))
 
@@ -273,7 +308,11 @@ def build_e3_equivariant_model(config: Dict[str, Any]) -> SevenNetModel:
 
     edge_embedding = init_edge_embedding(config)
     irreps_filter = edge_embedding.irreps_out
-    radial_basis_num = edge_embedding.basis.num_basis
+    radial_basis_num = (
+        edge_embedding.bases[0].num_basis
+        if isinstance(edge_embedding, L.MultiCutoffEdgeEmbedding)
+        else edge_embedding.basis.num_basis
+    )
     layers.append(('edge_embedding', edge_embedding))
 
     one_hot_irreps = Irreps(f'{num_species}x0e')
@@ -355,6 +394,14 @@ def build_e3_equivariant_model(config: Dict[str, Any]) -> SevenNetModel:
             use_modal_self_inter_outro=use_modality
             and config.get(KEY.USE_MODAL_SELF_INTER_OUTRO, False),
             num_modalities=num_modalities,
+            key_weight_input=(
+                KEY.EDGE_EMBEDDING + str(float(config[KEY.MULTI_CUTOFF][t]))
+                if config.get(KEY.MULTI_CUTOFF) else KEY.EDGE_EMBEDDING
+            ),
+            key_mask=(
+                KEY.EDGE_MASK + str(float(config[KEY.MULTI_CUTOFF][t]))
+                if config.get(KEY.MULTI_CUTOFF) else KEY.EDGE_MASK
+            ),
         ))
         irreps_x = irreps_out
 

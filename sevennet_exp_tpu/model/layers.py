@@ -78,6 +78,57 @@ class EdgeEmbedding:
 
 
 @dataclass(frozen=True)
+class MultiCutoffEdgeEmbedding:
+    """Per-layer cutoff radii (reference edge_embedding.py:220-257).
+
+    The reference filters the edge list per cutoff with boolean indexing
+    (dynamic shapes); the TPU-native equivalent keeps ONE static edge
+    list and emits, per unique cutoff c, a masked radial embedding
+    `edge_embedding{c}` and mask `edge_mask{c}`. Convolutions at cutoff
+    c fold the mask into their per-edge radial weights, so messages
+    beyond c are exactly zero — numerically identical to the filtered
+    list. EDGE_ATTR (spherical harmonics) is shared across cutoffs.
+    """
+    bases: Tuple[Any, ...]        # one BesselBasis per unique cutoff
+    cutoff_fns: Tuple[Any, ...]   # matching envelope per unique cutoff
+    lmax_edge: int
+    parity: int
+    normalize_sph: bool = True
+
+    @property
+    def irreps_out(self) -> Irreps:
+        return Irreps.spherical_harmonics(self.lmax_edge, self.parity)
+
+    def init(self, key):
+        p, m = {}, {}
+        for basis in self.bases:
+            sub = basis.init()
+            p[f'c{basis.cutoff}'] = sub
+            m[f'c{basis.cutoff}'] = {'coeffs': basis.trainable}
+        return p, m
+
+    def apply(self, params, data):
+        rvec = data[KEY.EDGE_VEC]
+        r = jnp.sqrt(jnp.sum(rvec * rvec, axis=-1))
+        data[KEY.EDGE_LENGTH] = r
+        base_mask = data.get(KEY.EDGE_MASK)
+        for basis, env in zip(self.bases, self.cutoff_fns):
+            c = basis.cutoff
+            mask = (r <= c).astype(r.dtype)
+            if base_mask is not None:
+                mask = mask * base_mask
+            emb = (basis.apply(params[f'c{c}'], r)
+                   * env.apply(r)[..., None] * mask[..., None])
+            data[KEY.EDGE_EMBEDDING + str(c)] = emb
+            data[KEY.EDGE_MASK + str(c)] = mask
+        data[KEY.EDGE_ATTR] = spherical_harmonics(
+            self.lmax_edge, rvec, normalize=self.normalize_sph,
+            normalization='component',
+        )
+        return data
+
+
+@dataclass(frozen=True)
 class OnehotEmbedding:
     """Type index -> one-hot (reference sevenn/nn/node_embedding.py:15-54)."""
     num_classes: int
@@ -204,6 +255,7 @@ class IrrepsConvolution:
     key_filter: str = KEY.EDGE_ATTR
     key_weight_input: str = KEY.EDGE_EMBEDDING
     key_edge_idx: str = KEY.EDGE_IDX
+    key_mask: str = KEY.EDGE_MASK
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -231,8 +283,8 @@ class IrrepsConvolution:
         emb = data[self.key_weight_input]
         denom = params['denominator'].astype(x.dtype)
         scale = jnp.ones((xg.shape[0], 1), x.dtype) / denom
-        if KEY.EDGE_MASK in data:
-            scale = scale * data[KEY.EDGE_MASK][..., None]
+        if self.key_mask in data:
+            scale = scale * data[self.key_mask][..., None]
 
         use_fused = (
             self.si2 is not None
