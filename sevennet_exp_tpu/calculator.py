@@ -62,6 +62,7 @@ class SevenNetCalculator(_ASECalculator):
         params=None,
         modal: Optional[str] = None,
         dtype=np.float32,
+        use_pallas: Optional[bool] = None,
         **kwargs,
     ):
         if _HAS_ASE:
@@ -83,6 +84,14 @@ class SevenNetCalculator(_ASECalculator):
         )
         self.dtype = dtype
         self._caps = (8, 32)
+        # fused pallas conv kernels (first-order differentiable: E/F/S
+        # inference) — default on when running on real TPU hardware
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = _jax.default_backend() not in ('cpu',)
+        if use_pallas:
+            from .ops import pallas_tp
+            pallas_tp.enable(True)
 
     # -- core ----------------------------------------------------------
     def calculate_single(self, atoms) -> Dict[str, np.ndarray]:
@@ -90,7 +99,8 @@ class SevenNetCalculator(_ASECalculator):
         g = unlabeled_atoms_to_graph(at, self.cutoff)
         n, e = len(at), g[KEY.EDGE_IDX].shape[1]
         n_cap = max(self._caps[0], pad_cap(n))
-        e_cap = max(self._caps[1], pad_cap(e, multiple=32, margin=1.2))
+        # 256-aligned edge capacity keeps the fused pallas conv eligible
+        e_cap = max(self._caps[1], pad_cap(e, multiple=256, margin=1.2))
         self._caps = (n_cap, e_cap)
         if self.modal_idx is not None:
             g[KEY.MODAL_TYPE] = self.modal_idx

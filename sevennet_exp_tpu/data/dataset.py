@@ -235,6 +235,23 @@ class SevenNetGraphDataset:
         return float(self.avg_num_neigh ** 0.5)
 
 
+def expand_dataset_paths(paths: List[str]) -> List[str]:
+    """Brace + glob expansion of dataset path patterns (reference
+    parse_input.py expands dataset globs; structure_list additionally
+    brace-expands, dataload.py:431)."""
+    import glob as _glob
+    from .vasp import braceexpand
+    out: List[str] = []
+    for pattern in paths:
+        for expr in braceexpand(pattern):
+            hits = sorted(_glob.glob(expr))
+            if hits:
+                out.extend(hits)
+            else:
+                out.append(expr)  # literal path; missing -> error later
+    return out
+
+
 def read_structure_file(path: str) -> List[Atoms]:
     """Format dispatch (reference graph_dataset.py:511-540): VASP
     structure_list index files, raw OUTCARs, and extxyz."""
@@ -276,6 +293,7 @@ def datasets_from_config(
             continue
         if isinstance(paths, str):
             paths = [paths]
+        paths = expand_dataset_paths(paths)
         name = '_'.join(dk.split('_')[1:-1])
         if dataset_type == 'atoms':
             from .atoms_dataset import SevenNetAtomsDataset

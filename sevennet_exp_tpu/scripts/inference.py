@@ -14,7 +14,7 @@ import numpy as np
 from .. import _keys as KEY
 from .._const import KBAR_COEFF
 from ..checkpoint import SevenNetCheckpoint
-from ..data.extxyz import read_extxyz
+from ..data.dataset import expand_dataset_paths, read_structure_file
 from ..data.graph import atoms_to_graph
 from ..data.loader import GraphLoader
 
@@ -149,8 +149,8 @@ def inference(
     cp = SevenNetCheckpoint(checkpoint)
     model, params = cp.build_model()
     graphs, infos = [], []
-    for path in targets:
-        for at in read_extxyz(path):
+    for path in expand_dataset_paths(list(targets)):
+        for at in read_structure_file(path):
             graphs.append(
                 atoms_to_graph(at, model.cutoff, allow_unlabeled=True)
             )
