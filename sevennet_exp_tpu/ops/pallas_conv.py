@@ -354,8 +354,13 @@ def make_fused_conv(
         )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
 
     # the bwd keeps dxg/dsh accumulators + the xm cache resident in
-    # VMEM, ~2x the fwd working set: halve its edge block
-    bwd_block = max(8, block_e // 2)
+    # VMEM, ~2x the fwd working set: halve its edge block. Large-lmax
+    # specs (l3i5: d1=592, w_numel=1600, ~2x the instruction count)
+    # carry far more live temporaries per row — shrink further to stay
+    # inside the ~16M scoped-vmem stack (measured: 7net-0 mid-layer
+    # needs ~21M at block 128; l3i5 mid-layer ~30M at block 64)
+    width = d1 + d_out + w_numel
+    bwd_block = max(8, block_e // 2 if width <= 2200 else block_e // 8)
 
     def bwd_call(res, g):
         xg, sh, emb, ms, mlp_ws, si2_ws = res
