@@ -58,7 +58,7 @@ def main():
 
     md = MolecularDynamics(
         model, params, atoms, dt_fs=dt_fs, temperature_K=300.0,
-        ensemble='nvt', rebuild_every=10, seed=0,
+        ensemble='nvt', rebuild_every=20, seed=0,
     )
 
     # warmup with the SAME call signature as the measured run: n_outer/k
