@@ -197,7 +197,8 @@ def decompose(
         max_e = max(max_e, len(gi))
 
     if caps is None:
-        cap_edge = _round_up(int(max_e * cap_margin) + 32, 128)
+        # 256-aligned so the fused pallas conv path stays eligible
+        cap_edge = _round_up(int(max_e * cap_margin) + 32, 256)
     edge_idx = np.zeros((n_dev, 2, cap_edge), dtype=np.int32)
     edge_mask = np.zeros((n_dev, cap_edge), dtype=np.float32)
     for d, (gi, gj) in enumerate(all_edges):

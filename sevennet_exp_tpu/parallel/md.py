@@ -85,7 +85,16 @@ class ParallelMolecularDynamics:
         rebuild_every: int = 10,
         seed: int = 0,
         dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
     ):
+        # fused pallas conv kernels (first-order differentiable: forces)
+        # — default on for real TPU meshes, off for the CPU-device
+        # sharding oracle used in tests
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ('cpu',)
+        if use_pallas:
+            from ..ops import pallas_tp
+            pallas_tp.enable(True)
         devices = jax.devices()
         self.n_dev = n_devices or len(devices)
         assert self.n_dev >= 2, 'use md.engine.MolecularDynamics for 1 device'
