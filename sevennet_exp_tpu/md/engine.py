@@ -269,10 +269,28 @@ class MolecularDynamics:
 
         return chunk
 
+    # max rebuild-chunks per device dispatch: long single executions can
+    # trip runtime watchdogs (observed: TPU worker restart on a
+    # 100-chunk dispatch); the jit cache keys on n_outer so a fixed
+    # dispatch size also avoids recompiles across different n_steps
+    max_outer_per_dispatch = 25
+
     def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
         """Advance n_steps; returns per-rebuild-chunk metric arrays."""
         k = self.rebuild_every
-        n_outer = max(1, n_steps // k)
+        total_outer = max(1, n_steps // k)
+        if total_outer > self.max_outer_per_dispatch:
+            outs = []
+            done = 0
+            while done < total_outer:
+                n = min(self.max_outer_per_dispatch, total_outer - done)
+                outs.append(self.run(n * k, log=log))
+                done += n
+            return {
+                kk: np.concatenate([o[kk] for o in outs])
+                for kk in outs[0]
+            }
+        n_outer = total_outer
         while True:
             chunk = self._chunk_cached()
             state, metrics = chunk(self.state, n_outer, k)
