@@ -135,8 +135,11 @@ void* sevenn_pjrt_init_with_options(const char* plugin_path,
   PJRT_Plugin_Initialize_Args init;
   std::memset(&init, 0, sizeof(init));
   init.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
-  RETURN_IF_ERROR(api, api->PJRT_Plugin_Initialize(&init),
-                  "PJRT_Plugin_Initialize", nullptr);
+  if (PJRT_Error* err = api->PJRT_Plugin_Initialize(&init)) {
+    set_error(api, err, "PJRT_Plugin_Initialize");
+    dlclose(dso);
+    return nullptr;
+  }
 
   // parse "k=v;k2:int=v2" into NamedValues (strings stay alive in vecs)
   std::vector<std::string> keys, svals;
@@ -183,18 +186,33 @@ void* sevenn_pjrt_init_with_options(const char* plugin_path,
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
   cc.create_options = nvs.empty() ? nullptr : nvs.data();
   cc.num_options = nvs.size();
-  RETURN_IF_ERROR(api, api->PJRT_Client_Create(&cc), "PJRT_Client_Create",
-                  nullptr);
+  if (PJRT_Error* err = api->PJRT_Client_Create(&cc)) {
+    set_error(api, err, "PJRT_Client_Create");
+    dlclose(dso);
+    return nullptr;
+  }
+
+  auto fail_with_client = [&](const char* msg) -> void* {
+    if (msg != nullptr) g_last_error = msg;
+    PJRT_Client_Destroy_Args cd;
+    std::memset(&cd, 0, sizeof(cd));
+    cd.struct_size = PJRT_Client_Destroy_Args_STRUCT_SIZE;
+    cd.client = cc.client;
+    api->PJRT_Client_Destroy(&cd);
+    dlclose(dso);
+    return nullptr;
+  };
 
   PJRT_Client_AddressableDevices_Args ad;
   std::memset(&ad, 0, sizeof(ad));
   ad.struct_size = PJRT_Client_AddressableDevices_Args_STRUCT_SIZE;
   ad.client = cc.client;
-  RETURN_IF_ERROR(api, api->PJRT_Client_AddressableDevices(&ad),
-                  "PJRT_Client_AddressableDevices", nullptr);
+  if (PJRT_Error* err = api->PJRT_Client_AddressableDevices(&ad)) {
+    set_error(api, err, "PJRT_Client_AddressableDevices");
+    return fail_with_client(nullptr);
+  }
   if (ad.num_addressable_devices == 0) {
-    g_last_error = "no addressable devices";
-    return nullptr;
+    return fail_with_client("no addressable devices");
   }
 
   auto* h = new SevennClient;
@@ -291,6 +309,20 @@ static PJRT_Buffer_Type to_pjrt_type(int32_t t) {
 // caller-provided flat buffers (out_data[i], capacity out_bytes[i]).
 // Single-device; per-step H2D/D2H copies, like the reference pair
 // style's per-step tensor uploads (pair_e3gnn.cpp:218-235).
+namespace {
+void destroy_buffers(const PJRT_Api* api,
+                     const std::vector<PJRT_Buffer*>& bufs) {
+  for (PJRT_Buffer* b : bufs) {
+    if (b == nullptr) continue;
+    PJRT_Buffer_Destroy_Args bd;
+    std::memset(&bd, 0, sizeof(bd));
+    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    bd.buffer = b;
+    api->PJRT_Buffer_Destroy(&bd);
+  }
+}
+}  // namespace
+
 int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
                         const void** in_data, const int64_t* in_dims_flat,
                         const int32_t* in_ndims, const int32_t* in_dtypes,
@@ -299,9 +331,14 @@ int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
   auto* e = static_cast<SevennExecutable*>(exec_handle);
   const PJRT_Api* api = e->owner->api;
 
+  // every return path below must release inputs/outputs — a per-step
+  // leak would OOM a long-running MD host on a flaky plugin
   std::vector<PJRT_Buffer*> inputs(n_inputs, nullptr);
+  std::vector<PJRT_Buffer*> outputs(n_outputs, nullptr);
+  int rc = 0;
+
   int64_t dim_off = 0;
-  for (int32_t i = 0; i < n_inputs; ++i) {
+  for (int32_t i = 0; i < n_inputs && rc == 0; ++i) {
     PJRT_Client_BufferFromHostBuffer_Args hb;
     std::memset(&hb, 0, sizeof(hb));
     hb.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -318,8 +355,12 @@ int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
     hb.host_buffer_semantics =
         PJRT_HostBufferSemantics_kImmutableOnlyDuringCall;
     hb.device = e->owner->device;
-    RETURN_IF_ERROR(api, api->PJRT_Client_BufferFromHostBuffer(&hb),
-                    "BufferFromHostBuffer", -1);
+    PJRT_Error* err = api->PJRT_Client_BufferFromHostBuffer(&hb);
+    if (err != nullptr) {
+      set_error(api, err, "BufferFromHostBuffer");
+      rc = -1;
+      break;
+    }
     inputs[i] = hb.buffer;
     if (hb.done_with_host_buffer != nullptr) {
       PJRT_Event_Destroy_Args ed;
@@ -330,31 +371,35 @@ int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
     }
   }
 
-  std::vector<PJRT_Buffer*> outputs(n_outputs, nullptr);
-  PJRT_Buffer* const* arg_list = inputs.data();
-  PJRT_Buffer** out_list = outputs.data();
-  PJRT_Event* done = nullptr;
+  if (rc == 0) {
+    PJRT_Buffer* const* arg_list = inputs.data();
+    PJRT_Buffer** out_list = outputs.data();
+    PJRT_Event* done = nullptr;
 
-  PJRT_ExecuteOptions opts;
-  std::memset(&opts, 0, sizeof(opts));
-  opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_ExecuteOptions opts;
+    std::memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
 
-  PJRT_LoadedExecutable_Execute_Args ex;
-  std::memset(&ex, 0, sizeof(ex));
-  ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
-  ex.executable = e->exec;
-  ex.options = &opts;
-  ex.argument_lists = &arg_list;
-  ex.num_devices = 1;
-  ex.num_args = static_cast<size_t>(n_inputs);
-  ex.output_lists = &out_list;
-  ex.device_complete_events = &done;
-  ex.execute_device = e->owner->device;
-  RETURN_IF_ERROR(api, api->PJRT_LoadedExecutable_Execute(&ex),
-                  "LoadedExecutable_Execute", -1);
-  if (!await_and_destroy(api, done, "execute_done")) return -1;
+    PJRT_LoadedExecutable_Execute_Args ex;
+    std::memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = e->exec;
+    ex.options = &opts;
+    ex.argument_lists = &arg_list;
+    ex.num_devices = 1;
+    ex.num_args = static_cast<size_t>(n_inputs);
+    ex.output_lists = &out_list;
+    ex.device_complete_events = &done;
+    ex.execute_device = e->owner->device;
+    PJRT_Error* err = api->PJRT_LoadedExecutable_Execute(&ex);
+    if (err != nullptr) {
+      set_error(api, err, "LoadedExecutable_Execute");
+      rc = -1;
+    } else if (!await_and_destroy(api, done, "execute_done")) {
+      rc = -1;
+    }
+  }
 
-  int rc = 0;
   for (int32_t i = 0; i < n_outputs && rc == 0; ++i) {
     PJRT_Buffer_ToHostBuffer_Args th;
     std::memset(&th, 0, sizeof(th));
@@ -371,21 +416,8 @@ int sevenn_pjrt_execute(void* exec_handle, int32_t n_inputs,
     if (!await_and_destroy(api, th.event, "to_host_done")) rc = -1;
   }
 
-  for (PJRT_Buffer* b : inputs) {
-    PJRT_Buffer_Destroy_Args bd;
-    std::memset(&bd, 0, sizeof(bd));
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = b;
-    api->PJRT_Buffer_Destroy(&bd);
-  }
-  for (PJRT_Buffer* b : outputs) {
-    if (b == nullptr) continue;
-    PJRT_Buffer_Destroy_Args bd;
-    std::memset(&bd, 0, sizeof(bd));
-    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    bd.buffer = b;
-    api->PJRT_Buffer_Destroy(&bd);
-  }
+  destroy_buffers(api, inputs);
+  destroy_buffers(api, outputs);
   return rc;
 }
 

@@ -85,13 +85,16 @@ class SevenNetCalculator(_ASECalculator):
         self.dtype = dtype
         self._caps = (8, 32)
         # fused pallas conv kernels (first-order differentiable: E/F/S
-        # inference) — default on when running on real TPU hardware
+        # inference) — default on when running on real TPU hardware.
+        # The toggle is process-global; an explicit use_pallas value
+        # (True OR False) is always honored.
+        from .ops import pallas_tp
         if use_pallas is None:
             import jax as _jax
-            use_pallas = _jax.default_backend() not in ('cpu',)
-        if use_pallas:
-            from .ops import pallas_tp
-            pallas_tp.enable(True)
+            if _jax.default_backend() not in ('cpu',):
+                pallas_tp.enable(True)
+        else:
+            pallas_tp.enable(bool(use_pallas))
 
     # -- core ----------------------------------------------------------
     def calculate_single(self, atoms) -> Dict[str, np.ndarray]:

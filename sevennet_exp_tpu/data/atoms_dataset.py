@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import warnings
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -45,7 +45,7 @@ class SevenNetAtomsDataset:
                 atoms_list.extend(read_structure_file(path))
         self.atoms_list = list(atoms_list)
         self._stats: Optional[Dict[str, Any]] = None
-        self._avg_num_neigh: Optional[float] = None
+        self._avg_num_neigh: Optional[Tuple[int, float]] = None
 
     # -- container: __getitem__ builds the graph (atoms_dataset.py:97-112)
     def __len__(self):
@@ -134,12 +134,17 @@ class SevenNetAtomsDataset:
         return self._avg_num_neigh_fn()
 
     def _avg_num_neigh_fn(self, n_sample: int = 10000) -> float:
-        if self._avg_num_neigh is None:
+        # cached per effective sample size so a coarse early estimate
+        # (loader capacity sizing at 64 samples) never poisons the
+        # statistic that datasets_from_config bakes into
+        # conv_denominator
+        eff = min(len(self), n_sample)
+        if self._avg_num_neigh is None or self._avg_num_neigh[0] < eff:
             if len(self) > n_sample:
                 warnings.warn(
                     'avg_num_neigh approximated on a random subset')
             rng = np.random.default_rng(0)
-            idx = rng.permutation(len(self))[:min(len(self), n_sample)]
+            idx = rng.permutation(len(self))[:eff]
             counts = []
             for i in idx:
                 g = self[int(i)]
@@ -148,8 +153,8 @@ class SevenNetAtomsDataset:
                 counts.append(nn)
             all_counts = (np.concatenate(counts)
                           if counts else np.ones((1,)))
-            self._avg_num_neigh = float(all_counts.mean())
-        return self._avg_num_neigh
+            self._avg_num_neigh = (eff, float(all_counts.mean()))
+        return self._avg_num_neigh[1]
 
     @property
     def sqrt_avg_num_neigh(self) -> float:

@@ -266,6 +266,8 @@ def read_structure_file(path: str) -> List[Atoms]:
                 at.info['label'] = label
             frames.extend(lst)
         return frames
+    if base.endswith(('.xyz', '.extxyz')):
+        return read_extxyz(path)
     if 'OUTCAR' in base:
         from .vasp import read_outcar
         return read_outcar(path)

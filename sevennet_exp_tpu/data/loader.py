@@ -77,7 +77,22 @@ class GraphLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 return
             batch = [self.graphs[j] for j in idx]
-            yield collate_graphs(
-                batch, n_node=self.n_node, n_edge=self.n_edge,
-                n_graph=self.n_graph,
-            )
+            try:
+                yield collate_graphs(
+                    batch, n_node=self.n_node, n_edge=self.n_edge,
+                    n_graph=self.n_graph,
+                )
+            except ValueError:
+                # estimated capacities (lazy atoms datasets) can be
+                # undershot by unusually dense structures: grow and
+                # continue instead of crashing mid-epoch (costs one
+                # retrace on the new shape)
+                tot_n = sum(int(g[KEY.NUM_ATOMS]) for g in batch)
+                tot_e = sum(g[KEY.EDGE_IDX].shape[1] for g in batch)
+                self.n_node = max(self.n_node, pad_cap(tot_n, multiple=8))
+                self.n_edge = max(self.n_edge,
+                                  pad_cap(tot_e, multiple=256, margin=1.2))
+                yield collate_graphs(
+                    batch, n_node=self.n_node, n_edge=self.n_edge,
+                    n_graph=self.n_graph,
+                )

@@ -61,13 +61,15 @@ class MolecularDynamics:
         self.dtype = dtype
         # fused pallas conv kernels: first-order differentiable (forces
         # OK, training is not traced here) — default on when running on
-        # real TPU hardware
+        # real TPU hardware. Global toggle; explicit values (True OR
+        # False) are always honored.
+        from ..ops import pallas_tp
         if use_pallas is None:
             import jax as _jax
-            use_pallas = _jax.default_backend() not in ('cpu',)
-        if use_pallas:
-            from ..ops import pallas_tp
-            pallas_tp.enable(True)
+            if _jax.default_backend() not in ('cpu',):
+                pallas_tp.enable(True)
+        else:
+            pallas_tp.enable(bool(use_pallas))
         n = len(atoms)
         self.n = n
         self.Z = jnp.asarray(atoms.atomic_numbers, dtype=jnp.int32)
@@ -301,6 +303,11 @@ class MolecularDynamics:
                     self.e_cap,
                     int(self.e_cap_model * 1.5 // 256 + 1) * 256,
                 )
+                if self.e_cap_model >= self.e_cap:
+                    # compaction effectively off: the full Verlet list is
+                    # valid out to cutoff+skin, so relax the staleness
+                    # bound back to skin (mirrors __init__)
+                    self.md_buffer = self.skin
                 continue  # retry with bigger capacity from the same state
             if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
                 # neighbor list went stale inside a chunk: tighten cadence

@@ -61,6 +61,12 @@ def init_edge_embedding(config) -> L.EdgeEmbedding:
         # per-layer cutoff radii (reference model_build.py:87-103);
         # masked static edge list instead of per-cutoff filtered lists
         cutoffs = sorted(set(float(c) for c in config[KEY.MULTI_CUTOFF]))
+        if cutoffs[-1] > float(cutoff) + 1e-9:
+            # graphs are only ever built at the global cutoff — a larger
+            # per-layer value would be silently truncated
+            raise ValueError(
+                f'multi_cutoff {cutoffs[-1]} exceeds cutoff {cutoff}; '
+                f'set cutoff to the largest per-layer value')
         bases, envs = [], []
         for c in cutoffs:
             bases.append(BesselBasis(

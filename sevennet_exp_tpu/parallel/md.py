@@ -89,12 +89,14 @@ class ParallelMolecularDynamics:
     ):
         # fused pallas conv kernels (first-order differentiable: forces)
         # — default on for real TPU meshes, off for the CPU-device
-        # sharding oracle used in tests
+        # sharding oracle used in tests. Global toggle; explicit values
+        # (True OR False) are always honored.
+        from ..ops import pallas_tp
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ('cpu',)
-        if use_pallas:
-            from ..ops import pallas_tp
-            pallas_tp.enable(True)
+            if jax.default_backend() not in ('cpu',):
+                pallas_tp.enable(True)
+        else:
+            pallas_tp.enable(bool(use_pallas))
         devices = jax.devices()
         self.n_dev = n_devices or len(devices)
         assert self.n_dev >= 2, 'use md.engine.MolecularDynamics for 1 device'

@@ -86,6 +86,42 @@ def test_atoms_dataset_matches_graph_dataset(tmp_path):
     np.testing.assert_allclose(ga[KEY.POS], gg[KEY.POS])
 
 
+def test_extxyz_named_outcar_dispatches_to_extxyz(tmp_path):
+    """Files like OUTCAR_relaxed.extxyz must hit the extxyz parser."""
+    p = tmp_path / 'OUTCAR_relaxed.extxyz'
+    p.write_text('1\nLattice="5 0 0 0 5 0 0 0 5" '
+                 'Properties=species:S:1:pos:R:3 energy=-1.5\n'
+                 'Si 1.0 1.0 1.0\n')
+    frames = read_structure_file(str(p))
+    assert len(frames) == 1
+    assert frames[0].atomic_numbers.tolist() == [14]
+    assert frames[0].energy == pytest.approx(-1.5)
+
+
+@needs_ref
+def test_loader_grows_on_capacity_overflow():
+    """Underestimated lazy capacities grow instead of crashing."""
+    ds = SevenNetAtomsDataset(
+        cutoff=4.5, files=[f'{REF}/data/label_1/OUTCAR_1'])
+    loader = GraphLoader(ds, batch_size=1, shuffle=False)
+    loader.n_edge = 128  # sabotage: far below the true edge count
+    b = next(iter(loader))
+    assert b[KEY.EDGE_IDX].shape[1] == loader.n_edge
+    assert loader.n_edge > 128  # grew to fit
+
+
+@needs_ref
+def test_avg_num_neigh_cache_not_poisoned_by_estimates():
+    ds = SevenNetAtomsDataset(
+        cutoff=4.5, files=[f'{REF}/data/label_1/OUTCAR_{i}'
+                           for i in (1, 2, 3)])
+    ds.estimated_sizes()  # coarse sample populates the cache
+    coarse = ds._avg_num_neigh
+    full = ds.avg_num_neigh  # must recompute at the larger sample size
+    assert ds._avg_num_neigh[0] == 3  # all items sampled
+    assert np.isfinite(full)
+
+
 @needs_ref
 def test_loader_over_lazy_atoms_dataset():
     ds = SevenNetAtomsDataset(
