@@ -13,7 +13,7 @@ Requires minimum-image-valid boxes (every cell width >= 2*(cutoff+skin)).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -278,45 +278,50 @@ class MolecularDynamics:
     max_outer_per_dispatch = 25
 
     def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
-        """Advance n_steps; returns per-rebuild-chunk metric arrays."""
+        """Advance n_steps; returns per-rebuild-chunk metric arrays.
+        Dispatches are capped at max_outer_per_dispatch chunks; a tail
+        shorter than the cap compiles its own (n_outer, k) signature
+        once per process (cached thereafter)."""
+        outs: List[Dict[str, np.ndarray]] = []
+        steps_done = 0
+        while steps_done < n_steps:
+            k = self.rebuild_every
+            want = max(1, -(-(n_steps - steps_done) // k))  # ceil
+            n_outer = min(self.max_outer_per_dispatch, want)
+            m = self._run_dispatch(n_outer, log)
+            if m is None:
+                continue  # capacities/cadence changed; recompute sizes
+            outs.append(m)
+            steps_done += n_outer * self.rebuild_every
+        return {
+            kk: np.concatenate([o[kk] for o in outs]) for kk in outs[0]
+        }
+
+    def _run_dispatch(self, n_outer: int, log=None):
+        """One device dispatch of n_outer rebuild-chunks; returns None if
+        a capacity/cadence adjustment invalidated the attempt."""
         k = self.rebuild_every
-        total_outer = max(1, n_steps // k)
-        if total_outer > self.max_outer_per_dispatch:
-            outs = []
-            done = 0
-            while done < total_outer:
-                n = min(self.max_outer_per_dispatch, total_outer - done)
-                outs.append(self.run(n * k, log=log))
-                done += n
-            return {
-                kk: np.concatenate([o[kk] for o in outs])
-                for kk in outs[0]
-            }
-        n_outer = total_outer
-        while True:
-            chunk = self._chunk_cached()
-            state, metrics = chunk(self.state, n_outer, k)
-            metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
-            if metrics['overflow'].any():
-                self.e_cap = int(self.e_cap * 1.5 // 256 + 1) * 256
-                self.e_cap_model = min(
-                    self.e_cap,
-                    int(self.e_cap_model * 1.5 // 256 + 1) * 256,
-                )
-                if self.e_cap_model >= self.e_cap:
-                    # compaction effectively off: the full Verlet list is
-                    # valid out to cutoff+skin, so relax the staleness
-                    # bound back to skin (mirrors __init__)
-                    self.md_buffer = self.skin
-                continue  # retry with bigger capacity from the same state
-            if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
-                # neighbor list went stale inside a chunk: tighten cadence
-                self.rebuild_every = max(1, self.rebuild_every // 2)
-                k = self.rebuild_every
-                n_outer = max(1, n_steps // k)
-                continue
-            self.state = state
-            if log:
-                for i in range(n_outer):
-                    log(i, {kk: v[i] for kk, v in metrics.items()})
-            return metrics
+        chunk = self._chunk_cached()
+        state, metrics = chunk(self.state, n_outer, k)
+        metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        if metrics['overflow'].any():
+            self.e_cap = int(self.e_cap * 1.5 // 256 + 1) * 256
+            self.e_cap_model = min(
+                self.e_cap,
+                int(self.e_cap_model * 1.5 // 256 + 1) * 256,
+            )
+            if self.e_cap_model >= self.e_cap:
+                # compaction effectively off: the full Verlet list is
+                # valid out to cutoff+skin, so relax the staleness
+                # bound back to skin (mirrors __init__)
+                self.md_buffer = self.skin
+            return None  # retry from the same state
+        if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
+            # neighbor list went stale inside a chunk: tighten cadence
+            self.rebuild_every = max(1, self.rebuild_every // 2)
+            return None
+        self.state = state
+        if log:
+            for i in range(n_outer):
+                log(i, {kk: v[i] for kk, v in metrics.items()})
+        return metrics

@@ -291,7 +291,12 @@ class ParallelMolecularDynamics:
         return jax.jit(fn)
 
     def run(self, n_steps: int) -> Dict[str, np.ndarray]:
-        chunk = self._compiled_chunk()
+        # cache the jitted chunk across run() calls (re-jitting would
+        # retrace every call; cf. md/engine.py _chunk_cached) — shape
+        # changes from rebinning still retrace through the jit cache
+        if not hasattr(self, '_chunk'):
+            self._chunk = self._compiled_chunk()
+        chunk = self._chunk
         n_chunks = max(1, n_steps // self.rebuild_every)
         if not hasattr(self, '_keys'):
             base = jax.random.PRNGKey(self.seed + 1)
