@@ -156,7 +156,7 @@ def make_fused_conv(
     tp_spec: UVUTensorProductSpec,
     mlp_spec: FullyConnectedNetSpec,
     si2_spec: LinearSpec,
-    block_e: int = 128,
+    block_e: int = 256,
 ):
     """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y (E, d_out).
 
@@ -338,29 +338,30 @@ def make_fused_conv(
 
     def fwd_call(xg, sh, emb, ms, mlp_ws, si2_ws):
         e = xg.shape[0]
-        assert e % block_e == 0
+        assert e % fwd_block == 0 and e % bwd_block == 0
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
         return pl.pallas_call(
             fwd_kernel,
             out_shape=jax.ShapeDtypeStruct((e, d_out), xg.dtype),
-            grid=(e // block_e,),
+            grid=(e // fwd_block,),
             in_specs=(
-                _especs([d1, f, r, 1], block_e)
+                _especs([d1, f, r, 1], fwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
             ),
-            out_specs=_especs([d_out], block_e)[0],
+            out_specs=_especs([d_out], fwd_block)[0],
             interpret=_INTERPRET,
         )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
 
-    # the bwd keeps dxg/dsh accumulators + the xm cache resident in
-    # VMEM, ~2x the fwd working set: halve its edge block. Large-lmax
-    # specs (l3i5: d1=592, w_numel=1600, ~2x the instruction count)
-    # carry far more live temporaries per row — shrink further to stay
-    # inside the ~16M scoped-vmem stack (measured: 7net-0 mid-layer
-    # needs ~21M at block 128; l3i5 mid-layer ~30M at block 64)
+    # block sizes are set by VMEM stack pressure, not by block_e: the
+    # bwd keeps dxg/dsh accumulators + the xm cache resident (~2x the
+    # fwd working set), and large-lmax specs (l3i5: d1=592,
+    # w_numel=1600, ~2x the instruction count) carry far more live
+    # temporaries per row (measured: 7net-0 mid-layer bwd needs ~21M at
+    # block 128; l3i5 mid-layer ~30M at block 64; scoped-vmem limit 16M)
     width = d1 + d_out + w_numel
-    bwd_block = max(8, block_e // 2 if width <= 2200 else block_e // 8)
+    fwd_block = min(block_e, 256 if width <= 2200 else 128)
+    bwd_block = min(block_e, 64 if width <= 2200 else 16)
 
     def bwd_call(res, g):
         xg, sh, emb, ms, mlp_ws, si2_ws = res
