@@ -55,7 +55,14 @@ class MolecularDynamics:
         dtype=jnp.float32,
         edge_capacity: Optional[int] = None,
         use_pallas: Optional[bool] = None,
+        d3: Optional[object] = None,
     ):
+        """d3: optional ops.d3.D3Dispersion added to the potential — the
+        TPU equivalent of the reference's LAMMPS recipe
+        ``pair_style hybrid/overlay e3gnn d3 ...`` (pair_e3gnn/README.md).
+        The replica sum runs inside the jitted step; its cost grows with
+        rthr (default 9000 bohr^2 ~ 50 A) — pass a reduced-threshold
+        D3Dispersion for production MD."""
         self.model = model
         self.params = params
         self.dtype = dtype
@@ -139,6 +146,27 @@ class MolecularDynamics:
         self.friction = friction_per_fs / FS
         self._initialized = False
 
+        self._d3 = None
+        if d3 is not None:
+            # host-side static setup: per-type tables, replica shifts
+            from ..ops import d3 as d3mod
+            z_np = np.asarray(atoms.atomic_numbers)
+            z_unique, tidx = np.unique(z_np, return_inverse=True)
+            lat_b = np.asarray(atoms.cell, np.float64) / d3mod.AU_TO_ANG
+            c = d3.shift_chunk
+            sv = d3mod.lattice_shifts(
+                lat_b, atoms.pbc, np.sqrt(d3.rthr), c).reshape(-1, c, 3)
+            sc = d3mod.lattice_shifts(
+                lat_b, atoms.pbc, np.sqrt(d3.cn_thr), c).reshape(-1, c, 3)
+            self._d3 = dict(
+                engine=d3, mod=d3mod,
+                tables=d3mod.build_tables(z_unique, np.float32),
+                tidx=jnp.asarray(tidx, jnp.int32),
+                lat_b=jnp.asarray(lat_b, dtype),
+                shifts_vdw=jnp.asarray(sv, dtype),
+                shifts_cn=jnp.asarray(sc, dtype),
+            )
+
     @staticmethod
     def _cell_widths(cell):
         vol = abs(np.linalg.det(cell))
@@ -171,7 +199,22 @@ class MolecularDynamics:
             ),
         }
         out = self.model.apply_energy(self.params, data)
-        return jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
+        e = jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
+        if self._d3 is not None:
+            d = self._d3
+            eng = d['engine']
+            # wrap into the cell: MD positions are unwrapped, and the
+            # replica shift range is static (grad of frac%1 is identity
+            # away from the measure-zero wrap boundaries)
+            frac = (pos @ self.inv_cell) % 1.0
+            pos_w = frac @ self.cell
+            e_disp = d['mod'].dispersion_energy(
+                pos_w / d['mod'].AU_TO_ANG, d['lat_b'], d['tidx'],
+                d['tables'], eng.damping, d['shifts_vdw'], d['shifts_cn'],
+                eng.rthr, eng.cn_thr,
+            )
+            e = e + e_disp * d['mod'].AU_TO_EV
+        return e
 
     def _ef_fn(self, pos, nl):
         e, g = jax.value_and_grad(self._energy_fn)(pos, nl)

@@ -166,3 +166,36 @@ def test_d3_calculator_api():
     f = calc.get_forces()
     s = calc.get_stress()
     assert e < 0 and f.shape == (2, 3) and s.shape == (6,)
+
+
+def test_md_engine_with_d3_overlay():
+    """MD hybrid/overlay: engine energy = GNN + D3 exactly (the LAMMPS
+    `pair_style hybrid/overlay e3gnn d3` analog)."""
+    import jax
+    import sys
+    sys.path.insert(0, 'tests')
+    from samples import rattled_rocksalt, tiny_model_config
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+
+    at = rattled_rocksalt(reps=3, a=3.4, rattle=0.03, seed=4)
+    model = build_e3_equivariant_model(tiny_model_config({'cutoff': 4.0}))
+    params, _ = model.init(jax.random.PRNGKey(0))
+    # small thresholds keep the replica sum cheap in CI
+    d3 = D3Dispersion('damp_bj', 'pbe', rthr=120.0, cn_thr=80.0)
+
+    md0 = MolecularDynamics(model, params, at, ensemble='nve', seed=1,
+                            use_pallas=False)
+    md1 = MolecularDynamics(model, params, at, ensemble='nve', seed=1,
+                            use_pallas=False, d3=d3)
+    nl = md0._build_nl(md0.state.pos)
+    e0, f0 = md0._ef_fn(md0.state.pos, nl)
+    e1, f1 = md1._ef_fn(md1.state.pos, nl)
+    ref = d3.compute(at.atomic_numbers, at.pos, at.cell, at.pbc)
+    assert float(e1 - e0) == pytest.approx(ref['energy'], rel=1e-4,
+                                           abs=1e-5)
+    np.testing.assert_allclose(np.asarray(f1 - f0), ref['forces'],
+                               rtol=1e-3, atol=1e-4)
+    # dynamics runs with the overlay
+    m = md1.run(4)
+    assert np.isfinite(m['energy']).all()
