@@ -360,8 +360,14 @@ class MolecularDynamics:
                 self.md_buffer = self.skin
             return None  # retry from the same state
         if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
-            # neighbor list went stale inside a chunk: tighten cadence
-            self.rebuild_every = max(1, self.rebuild_every // 2)
+            # neighbor list went stale inside a chunk: jump straight to
+            # a cadence that bounds per-chunk displacement at ~70% of
+            # the threshold (each halving costs a fresh chunk compile,
+            # so converge in one adjustment instead of several)
+            worst = float(np.sqrt(metrics['max_disp2'].max()))
+            safe = 0.7 * 0.5 * self.md_buffer
+            k_new = max(1, int(self.rebuild_every * safe / worst))
+            self.rebuild_every = min(k_new, max(1, self.rebuild_every - 1))
             return None
         self.state = state
         if log:
