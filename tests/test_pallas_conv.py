@@ -48,3 +48,28 @@ def test_fused_conv_matches_xla_model():
         np.asarray(out_ref[KEY.PRED_STRESS]),
         np.asarray(out_fused[KEY.PRED_STRESS]), atol=1e-3,
     )
+
+
+def test_fused_conv_matches_xla_lmax3():
+    """lmax=3 (l3i5-family) CG paths through the fused kernel."""
+    model = build_e3_equivariant_model(tiny_model_config({
+        'lmax': 3, 'channel': 2, 'num_convolution_layer': 2,
+    }))
+    params, _ = model.init(jax.random.PRNGKey(1))
+    g = unlabeled_atoms_to_graph(nacl_bulk(), 4.0)
+    b = collate_graphs([g], n_edge=256)
+    data = {k: jnp.asarray(v) for k, v in b.items()}
+
+    pallas_tp.enable(False)
+    out_ref = model.apply(params, dict(data))
+    pallas_tp.enable(True)
+    out_fused = model.apply(params, dict(data))
+
+    np.testing.assert_allclose(
+        np.asarray(out_ref[KEY.PRED_TOTAL_ENERGY]),
+        np.asarray(out_fused[KEY.PRED_TOTAL_ENERGY]), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref[KEY.PRED_FORCE]),
+        np.asarray(out_fused[KEY.PRED_FORCE]), atol=1e-3,
+    )
