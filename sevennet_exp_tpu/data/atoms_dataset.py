@@ -38,10 +38,10 @@ class SevenNetAtomsDataset:
     ):
         self.cutoff = cutoff
         if atoms_list is None:
-            from .dataset import read_structure_file
+            from .dataset import expand_dataset_paths, read_structure_file
             assert files, 'no input files'
             atoms_list = []
-            for path in files:
+            for path in expand_dataset_paths(list(files)):
                 atoms_list.extend(read_structure_file(path))
         self.atoms_list = list(atoms_list)
         self._stats: Optional[Dict[str, Any]] = None

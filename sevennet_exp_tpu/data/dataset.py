@@ -150,7 +150,7 @@ class SevenNetGraphDataset:
         else:
             assert files, 'no input files'
             self.graphs = []
-            for path in files:
+            for path in expand_dataset_paths(list(files)):
                 self.graphs.extend(self._file_to_graphs(path, cutoff))
             self.statistics = run_statistics(self.graphs)
             self._save()
