@@ -56,6 +56,9 @@ LABEL_NONE = 'No_label'
 # padding masks (TPU-native addition: static shapes require explicit masks)
 NODE_MASK = 'node_mask'                 # (N,) 1.0 for real atoms
 EDGE_MASK = 'edge_mask'                 # (E,)
+EDGE_REV = 'edge_rev'                   # (E,) reverse-edge permutation
+#   (present only when the edge list is symmetric + dst-sorted; enables
+#   sorted-scatter aggregation, see ops/scatter.py)
 GRAPH_MASK = 'graph_mask'               # (G,)
 
 # -- train / data configuration keys ---------------------------------------

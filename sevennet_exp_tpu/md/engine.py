@@ -23,6 +23,7 @@ from .. import _keys as KEY
 from ..data.graph import Atoms
 from ..data.periodic import atomic_masses
 from ..model.model import SevenNetModel
+from ..ops.scatter import reverse_permutation
 from . import integrate
 from .integrate import MDState
 from .neighbor import (
@@ -186,7 +187,8 @@ class MolecularDynamics:
         safe = jnp.where(
             mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], dtype=vec.dtype)
         )
-        data = {
+        data = {} if nl.rev is None else {KEY.EDGE_REV: nl.rev}
+        data |= {
             KEY.ATOMIC_NUMBERS: self.Z,
             KEY.EDGE_IDX: edge_idx,
             KEY.EDGE_VEC: safe,
@@ -233,9 +235,11 @@ class MolecularDynamics:
     def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
         """Shrink the Verlet list to edges within cutoff+buffer (stable
         partition by validity); the model's per-step work scales with
-        this capacity, not the build capacity."""
+        this capacity, not the build capacity. Also attaches the
+        reverse-edge permutation (symmetric list) enabling sorted-scatter
+        aggregation in the model (ops/scatter.py)."""
         if self.e_cap_model >= self.e_cap:
-            return nl
+            return nl._replace(rev=reverse_permutation(nl.edge_idx))
         vec = mic_displacements(
             pos[nl.edge_idx[0]], pos[nl.edge_idx[1]],
             self.cell, self.inv_cell,
@@ -247,11 +251,17 @@ class MolecularDynamics:
         overflow = nl.overflow | (
             jnp.sum(keep) > self.e_cap_model
         )
+        valid = keep[idx]
+        # dropped rows keep stale (i, j); repoint them at the last atom so
+        # dst stays ascending for the sorted message scatter
+        edge_idx = jnp.where(valid[None, :], nl.edge_idx[:, idx],
+                             self.n - 1)
         return NeighborState(
-            edge_idx=nl.edge_idx[:, idx],
-            valid=keep[idx],
+            edge_idx=edge_idx,
+            valid=valid,
             overflow=overflow,
             ref_pos=nl.ref_pos,
+            rev=reverse_permutation(edge_idx),
         )
 
     def _make_step(self):

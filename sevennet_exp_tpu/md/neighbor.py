@@ -29,6 +29,7 @@ class NeighborState(NamedTuple):
     valid: jnp.ndarray      # (E,) bool
     overflow: jnp.ndarray   # () bool
     ref_pos: jnp.ndarray    # (N, 3) positions at build time
+    rev: jnp.ndarray = None  # (E,) reverse-edge permutation (optional)
 
 
 def mic_displacements(pos_i, pos_j, cell, inv_cell):
@@ -51,7 +52,13 @@ def dense_neighbor_list(pos, cell, cutoff, e_cap: int) -> NeighborState:
     (idx,) = jnp.nonzero(flat, size=e_cap, fill_value=0)
     i = (idx // n).astype(jnp.int32)
     j = (idx % n).astype(jnp.int32)
-    valid = flat[idx]
+    # pad rows repeat flat index 0; they must never count as edges even
+    # when edge 0 exists (flat[0] True), so gate on the true edge count
+    valid = flat[idx] & (jnp.arange(e_cap) < count)
+    # invalid rows point at the last atom: keeps dst ascending so the
+    # message scatter can use indices_are_sorted (payloads are masked)
+    i = jnp.where(valid, i, n - 1)
+    j = jnp.where(valid, j, n - 1)
     return NeighborState(
         edge_idx=jnp.stack([i, j]),
         valid=valid,
@@ -112,8 +119,14 @@ def cell_list_neighbor_list(
     (idx,) = jnp.nonzero(flat, size=e_cap, fill_value=0)
     i = (idx // (27 * cell_cap)).astype(jnp.int32)
     j = cand.reshape(-1)[idx].astype(jnp.int32)
-    valid = flat[idx]
-    j = jnp.where(valid, j, 0)
+    # pad rows repeat flat index 0; flat[0] (atom 0's first diagonal-bin
+    # candidate) is True whenever that candidate lies within the cutoff,
+    # which would double-count edge 0 -- gate on the true edge count
+    valid = flat[idx] & (jnp.arange(e_cap) < count)
+    # invalid rows point at the last atom: keeps dst ascending so the
+    # message scatter can use indices_are_sorted (payloads are masked)
+    i = jnp.where(valid, i, n - 1)
+    j = jnp.where(valid, j, n - 1)
     return NeighborState(
         edge_idx=jnp.stack([i, j]),
         valid=valid,

@@ -27,7 +27,7 @@ from ..irreps import Irreps
 from ..ops import pallas_conv, pallas_tp
 from ..ops.radial import BesselBasis, PolynomialCutoff, XPLORCutoff
 from ..ops.spherical import spherical_harmonics
-from ..ops.scatter import scatter_sum
+from ..ops.scatter import gather_rev, scatter_sum
 from ..ops.tensor_product import (
     FullyConnectedNetSpec,
     FullyConnectedTPSpec,
@@ -278,7 +278,13 @@ class IrrepsConvolution:
         edge_idx = data[self.key_edge_idx]
         edge_src = edge_idx[1]
         edge_dst = edge_idx[0]
-        xg = x[edge_src]
+        # EDGE_REV present => symmetric dst-sorted list: gather with a
+        # sorted-scatter transpose, and sorted forward aggregation
+        rev = data.get(KEY.EDGE_REV)
+        if rev is not None:
+            xg = gather_rev(x, edge_src, rev, edge_dst)
+        else:
+            xg = x[edge_src]
         sh = data[self.key_filter]
         emb = data[self.key_weight_input]
         denom = params['denominator'].astype(x.dtype)
@@ -307,11 +313,13 @@ class IrrepsConvolution:
                 self.tp, self.weight_nn, self.si2
             )
             y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
-            out = scatter_sum(y, edge_dst, x.shape[0])
+            out = scatter_sum(y, edge_dst, x.shape[0],
+                              sorted=rev is not None)
         else:
             w = self.weight_nn.apply(params['weight_nn'], emb) * scale
             message = self.tp.apply(xg, sh, w)
-            agg = scatter_sum(message, edge_dst, x.shape[0])
+            agg = scatter_sum(message, edge_dst, x.shape[0],
+                              sorted=rev is not None)
             if self.si2 is None:
                 data[self.key_x] = agg
                 return data

@@ -110,8 +110,15 @@ class SevenNetModel:
 
         edge_idx = data[KEY.EDGE_IDX]
         n_nodes = data[KEY.ATOMIC_NUMBERS].shape[0]
-        pf = scatter_sum(fij, edge_idx[0], n_nodes)
-        nf = scatter_sum(fij, edge_idx[1], n_nodes)
+        rev = data.get(KEY.EDGE_REV)
+        if rev is not None:
+            # symmetric dst-sorted list: both scatters ride the sorted
+            # emitter; the src-scatter becomes a rev-gather + dst-scatter
+            pf = scatter_sum(fij, edge_idx[0], n_nodes, sorted=True)
+            nf = scatter_sum(fij[rev], edge_idx[0], n_nodes, sorted=True)
+        else:
+            pf = scatter_sum(fij, edge_idx[0], n_nodes)
+            nf = scatter_sum(fij, edge_idx[1], n_nodes)
         out[KEY.PRED_FORCE] = pf - nf
 
         if compute_stress:

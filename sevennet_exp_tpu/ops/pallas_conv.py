@@ -41,10 +41,53 @@ from .wigner import wigner_3j
 
 _INTERPRET = False
 
+# MXU precision mode for the in-kernel dots. 'fp32' is the default and
+# fastest-accurate choice: measured on v5e (tools/bench_kernel.py), the
+# manual 'bf16x2' split (hi+lo bf16 halves, 3 cross products, ~16-bit
+# mantissa) is ~7% SLOWER than Mosaic's native fp32 dot -- the VPU
+# split/convert overhead outweighs the MXU pass savings, i.e. the
+# kernel is not MXU-bound. 'bf16' is 1-pass (~1e-3 rel err), kept for
+# throughput experiments only.
+_DOT_MODE = 'fp32'
+
+# Mosaic scoped-VMEM cap. The default (~16 MB) forces tiny backward
+# blocks; raising the cap lets the bwd run at the same block size as
+# the fwd.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def set_interpret(flag: bool):
     global _INTERPRET
     _INTERPRET = flag
+
+
+def set_dot_mode(mode: str):
+    """'fp32' | 'bf16x2' | 'bf16' (see _DOT_MODE). Affects newly built
+    kernels only -- call make_fused_conv.cache_clear() to rebuild."""
+    global _DOT_MODE
+    assert mode in ('fp32', 'bf16x2', 'bf16')
+    _DOT_MODE = mode
+
+
+def _raw_dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot(a, b):
+    if _INTERPRET or _DOT_MODE == 'fp32':
+        return _raw_dot(a, b)
+    if _DOT_MODE == 'bf16':
+        return _raw_dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    bf = jnp.bfloat16
+    a_hi = a.astype(bf)
+    b_hi = b.astype(bf)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(bf)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(bf)
+    return (_raw_dot(a_hi, b_hi) + _raw_dot(a_hi, b_lo)
+            + _raw_dot(a_lo, b_hi))
 
 
 def is_enabled() -> bool:
@@ -80,6 +123,39 @@ def _tp_plan(spec: UVUTensorProductSpec):
         ))
         w_off += mul1
     return plan, w_off
+
+
+def _si2_groups(tp_spec: UVUTensorProductSpec, si2: LinearSpec):
+    """Group-major view of the TP->si2 contraction: one group per si2
+    output entry j, listing the TP output entries k that feed it in
+    weight-row order. The si2 contraction for group j then becomes ONE
+    (B, K_j) @ (K_j, mo) MXU matmul per output component p (K_j = total
+    input multiplicity), instead of a small matmul per (k, p) -- the
+    MXU-utilization move that sets the kernel's speed."""
+    per_k, d_out = _si2_plan(tp_spec, si2)
+    plan, _ = _tp_plan(tp_spec)
+    by_k = {p['k']: p for p in plan}
+    groups = {}
+    for k, info in per_k.items():
+        j = info['j']
+        g = groups.setdefault(j, dict(
+            path=info['path'], alpha=info['alpha'], mo=info['mo'],
+            out_off=info['out_off'], dim3=info['dim3'], ks=[],
+        ))
+        assert g['path'] == info['path'], 'si2: >1 path per output entry'
+        g['ks'].append((by_k[k], info['row']))
+    out = []
+    for j in sorted(groups):
+        g = groups[j]
+        g['ks'].sort(key=lambda t: t[1])
+        # rows must tile [0, K_j) exactly
+        off = 0
+        for p_ins, row in g['ks']:
+            assert row == off, 'si2 rows not contiguous'
+            off += p_ins['mul']
+        g['K'] = off
+        out.append(g)
+    return out, d_out
 
 
 def _si2_plan(tp_spec: UVUTensorProductSpec, si2: LinearSpec):
@@ -125,15 +201,14 @@ def _si2_plan(tp_spec: UVUTensorProductSpec, si2: LinearSpec):
 
 def _mlp_forward(emb, w0, w1, w2, act_name):
     cst = NORMALIZE2MOM_CST[act_name]
-    h0, h1_in = None, None
     import jax.nn as jnn
     act = {'silu': jnn.silu, 'tanh': jnp.tanh, 'ssp':
            lambda x: jnn.softplus(x) - math.log(2.0)}.get(act_name, jnn.silu)
-    pre0 = emb @ (w0 / math.sqrt(w0.shape[0]))
+    pre0 = _dot(emb, w0 / math.sqrt(w0.shape[0]))
     h0 = act(pre0) * cst
-    pre1 = h0 @ (w1 / math.sqrt(w1.shape[0]))
+    pre1 = _dot(h0, w1 / math.sqrt(w1.shape[0]))
     h1 = act(pre1) * cst
-    w = h1 @ (w2 / math.sqrt(w2.shape[0]))
+    w = _dot(h1, w2 / math.sqrt(w2.shape[0]))
     return w, (pre0, h0, pre1, h1)
 
 
@@ -164,13 +239,29 @@ def make_fused_conv(
     si2_ws: tuple of si2 path weight matrices (as stored).
     """
     plan, w_numel = _tp_plan(tp_spec)
-    per_k, d_out = _si2_plan(tp_spec, si2_spec)
+    groups, d_out = _si2_groups(tp_spec, si2_spec)
     d1 = tp_spec.irreps_in1.dim
     f = tp_spec.irreps_in2.dim
     r = mlp_spec.hs[0]
     act_name = mlp_spec.act
     n_mlp = len(mlp_spec.hs) - 1
     assert n_mlp == 3, 'kernel assumes 2 hidden layers (reference default)'
+
+    def _cg_acc(xg_ref, sh_ref, p_ins):
+        """CG contraction for one instruction: list of dim3 (B, mul)."""
+        mul = p_ins['mul']
+        xo, so = p_ins['x_off'], p_ins['sh_off']
+        cache = {}
+        acc = [None] * p_ins['dim3']
+        for (m, n, p, c) in p_ins['nz']:
+            if (m, n) not in cache:
+                cache[(m, n)] = (
+                    xg_ref[:, xo + m * mul: xo + (m + 1) * mul]
+                    * sh_ref[:, so + n: so + n + 1]
+                )
+            t = cache[(m, n)] * c
+            acc[p] = t if acc[p] is None else acc[p] + t
+        return acc
 
     def fwd_kernel(xg_ref, sh_ref, emb_ref, ms_ref,
                    w0_ref, w1_ref, w2_ref, *si2_refs_and_out):
@@ -180,43 +271,28 @@ def make_fused_conv(
             emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
         )
         w_rad = w_rad * ms_ref[...]
-        out_acc = {}  # keyed by (offset, width)
-        for p_ins in plan:
-            mul = p_ins['mul']
-            xo, so, wo = p_ins['x_off'], p_ins['sh_off'], p_ins['w_off']
-            k = p_ins['k']
-            wn = w_rad[:, wo:wo + mul]
-            cache = {}
-            acc = [None] * p_ins['dim3']
-            for (m, n, p, c) in p_ins['nz']:
-                if (m, n) not in cache:
-                    cache[(m, n)] = (
-                        xg_ref[:, xo + m * mul: xo + (m + 1) * mul]
-                        * sh_ref[:, so + n: so + n + 1]
-                    )
-                t = cache[(m, n)] * c
-                acc[p] = t if acc[p] is None else acc[p] + t
-            if k not in per_k:
-                continue
-            info = per_k[k]
-            W = si2_refs[info['path']][...]
-            Wk = W[info['row']:info['row'] + mul, :] * info['alpha']
-            mo = info['mo']
-            oo = info['out_off']
-            for p in range(p_ins['dim3']):
-                a = acc[p]
-                if a is None:
-                    continue
-                contrib = jnp.dot(a * wn, Wk,
-                                  preferred_element_type=jnp.float32)
-                key = (oo + p * mo, mo)
-                if key in out_acc:
-                    out_acc[key] = out_acc[key] + contrib
-                else:
-                    out_acc[key] = contrib
+        b = xg_ref.shape[0]
         out_ref[...] = jnp.zeros_like(out_ref)
-        for (off, width), v in out_acc.items():
-            out_ref[:, off:off + width] = v
+        # group-major: per si2 output entry j, build the weighted message
+        # pieces of all feeding instructions, concat along K, and run one
+        # (B, K_j) @ (K_j, mo) matmul per output component p
+        for grp in groups:
+            W = si2_refs[grp['path']][...] * grp['alpha']
+            mo, oo = grp['mo'], grp['out_off']
+            accw = []  # per feeding k: list of dim3 (B, mul) * wn
+            for p_ins, _row in grp['ks']:
+                mul, wo = p_ins['mul'], p_ins['w_off']
+                wn = w_rad[:, wo:wo + mul]
+                acc = _cg_acc(xg_ref, sh_ref, p_ins)
+                accw.append([
+                    (a if a is not None
+                     else jnp.zeros((b, mul), jnp.float32)) * wn
+                    for a in acc
+                ])
+            for p in range(grp['dim3']):
+                cat = (jnp.concatenate([aw[p] for aw in accw], axis=1)
+                       if len(accw) > 1 else accw[0][p])
+                out_ref[:, oo + p * mo: oo + (p + 1) * mo] = _dot(cat, W)
 
     def bwd_kernel(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
                    w0_ref, w1_ref, w2_ref, *refs):
@@ -229,69 +305,68 @@ def make_fused_conv(
         ms = ms_ref[...]
         w_eff = w_rad * ms
         # register-resident accumulators, refs written ONCE at the end
-        # (per-term ref read-modify-writes made the bwd 4x slower than
-        # the fwd; mirror the fwd's out_acc pattern instead)
         dxg_acc = {}   # (x_off + m*mul, mul) -> (B, mul)
         dsh_acc = {}   # sh column index -> (B, 1)
         dw_eff_cols = {}
-        for p_ins in plan:
-            mul = p_ins['mul']
-            xo, so, wo = p_ins['x_off'], p_ins['sh_off'], p_ins['w_off']
-            k = p_ins['k']
-            if k not in per_k:
-                continue
-            info = per_k[k]
-            W = si2_refs[info['path']][...]
-            Wk = W[info['row']:info['row'] + mul, :] * info['alpha']
-            mo = info['mo']
-            oo = info['out_off']
-            wn = w_eff[:, wo:wo + mul]
-            dw_acc = None
-            xm_cache = {}
-            xy_cache = {}
-            sacc = {}  # n -> (B, mul) partial dsh, reduced ONCE at the end
-            for p in range(p_ins['dim3']):
-                # gradient wrt (acc_p * wn): g_p @ Wk^T
-                gp = g_ref[:, oo + p * mo: oo + (p + 1) * mo]
-                gm = jnp.dot(gp, Wk.T,
-                             preferred_element_type=jnp.float32)
-                gw = gm * wn
+        for grp in groups:
+            W = si2_refs[grp['path']][...] * grp['alpha']
+            mo, oo = grp['mo'], grp['out_off']
+            # one (B, mo) @ (mo, K_j) matmul per component p recovers the
+            # message gradient for ALL feeding instructions at once
+            gmcat = [
+                _dot(g_ref[:, oo + p * mo: oo + (p + 1) * mo], W.T)
+                for p in range(grp['dim3'])
+            ]
+            for p_ins, row in grp['ks']:
+                mul = p_ins['mul']
+                xo, so, wo = (p_ins['x_off'], p_ins['sh_off'],
+                              p_ins['w_off'])
+                wn = w_eff[:, wo:wo + mul]
+                gw = [gmcat[p][:, row:row + mul] * wn
+                      for p in range(grp['dim3'])]
+                xm_cache = {}
+                xy_cache = {}
                 gxm_cache = {}
-                # recompute acc_p
-                acc_p = None
-                for (m, n, pp, c) in p_ins['nz']:
-                    if pp != p:
-                        continue
-                    if m not in xm_cache:
-                        xm_cache[m] = xg_ref[
-                            :, xo + m * mul: xo + (m + 1) * mul]
-                    xm = xm_cache[m]
-                    yn = sh_ref[:, so + n: so + n + 1]
-                    if (m, n) not in xy_cache:
-                        xy_cache[(m, n)] = xm * yn
-                    t = xy_cache[(m, n)] * c
-                    acc_p = t if acc_p is None else acc_p + t
-                    # dxg, dsh from gm * wn
-                    kx = (xo + m * mul, mul)
-                    v = gw * (yn * c)
-                    dxg_acc[kx] = v if kx not in dxg_acc else dxg_acc[kx] + v
-                    if m not in gxm_cache:
-                        gxm_cache[m] = gw * xm
-                    s = gxm_cache[m] * c
-                    sacc[n] = s if n not in sacc else sacc[n] + s
-                if acc_p is not None:
-                    t = gm * acc_p
-                    dw_acc = t if dw_acc is None else dw_acc + t
-            for n, v in sacc.items():
-                s = jnp.sum(v, axis=1, keepdims=True)
-                kn = so + n
-                dsh_acc[kn] = s if kn not in dsh_acc else dsh_acc[kn] + s
-            if dw_acc is not None:
-                key = (wo, mul)
-                dw_eff_cols[key] = (
-                    dw_acc if key not in dw_eff_cols
-                    else dw_eff_cols[key] + dw_acc
-                )
+                sacc = {}   # n -> (B, mul); lane-reduced ONCE per (k, n)
+                dw_acc = None
+                nz_by_p = {}
+                for (m, n, p, c) in p_ins['nz']:
+                    nz_by_p.setdefault(p, []).append((m, n, c))
+                for p, terms in nz_by_p.items():
+                    acc_p = None
+                    for (m, n, c) in terms:
+                        if m not in xm_cache:
+                            xm_cache[m] = xg_ref[
+                                :, xo + m * mul: xo + (m + 1) * mul]
+                        xm = xm_cache[m]
+                        yn = sh_ref[:, so + n: so + n + 1]
+                        kx = (xo + m * mul, mul)
+                        v = gw[p] * (yn * c)
+                        dxg_acc[kx] = (v if kx not in dxg_acc
+                                       else dxg_acc[kx] + v)
+                        if (m, p) not in gxm_cache:
+                            gxm_cache[(m, p)] = gw[p] * xm
+                        s = gxm_cache[(m, p)] * c
+                        sacc[n] = s if n not in sacc else sacc[n] + s
+                        if (m, n) not in xy_cache:
+                            xy_cache[(m, n)] = xm * yn
+                        t = xy_cache[(m, n)] * c
+                        acc_p = t if acc_p is None else acc_p + t
+                    # radial-weight gradient: dw_k = sum_p gm_p * acc_p
+                    if acc_p is not None:
+                        t = gmcat[p][:, row:row + mul] * acc_p
+                        dw_acc = t if dw_acc is None else dw_acc + t
+                for n, v in sacc.items():
+                    s = jnp.sum(v, axis=1, keepdims=True)
+                    kn = so + n
+                    dsh_acc[kn] = (s if kn not in dsh_acc
+                                   else dsh_acc[kn] + s)
+                if dw_acc is not None:
+                    key = (wo, mul)
+                    dw_eff_cols[key] = (
+                        dw_acc if key not in dw_eff_cols
+                        else dw_eff_cols[key] + dw_acc
+                    )
         dxg_ref[...] = jnp.zeros_like(dxg_ref)
         for (off, mul), v in dxg_acc.items():
             dxg_ref[:, off:off + mul] = dxg_ref[:, off:off + mul] + v
@@ -309,16 +384,11 @@ def make_fused_conv(
             pieces.append(v)
         dw_eff = jnp.concatenate(pieces, axis=1)
         dw_rad = dw_eff * ms
-        dh1 = jnp.dot(dw_rad, (w2 / math.sqrt(w2.shape[0])).T,
-                      preferred_element_type=jnp.float32)
+        dh1 = _dot(dw_rad, (w2 / math.sqrt(w2.shape[0])).T)
         dpre1 = dh1 * _act_grad(pre1, act_name)
-        dh0 = jnp.dot(dpre1, (w1 / math.sqrt(w1.shape[0])).T,
-                      preferred_element_type=jnp.float32)
+        dh0 = _dot(dpre1, (w1 / math.sqrt(w1.shape[0])).T)
         dpre0 = dh0 * _act_grad(pre0, act_name)
-        demb_ref[...] = jnp.dot(
-            dpre0, (w0 / math.sqrt(w0.shape[0])).T,
-            preferred_element_type=jnp.float32,
-        )
+        demb_ref[...] = _dot(dpre0, (w0 / math.sqrt(w0.shape[0])).T)
 
     n_si2 = len(si2_spec.paths)
 
@@ -336,6 +406,8 @@ def make_fused_conv(
             for s in shapes
         ]
 
+    _cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
     def fwd_call(xg, sh, emb, ms, mlp_ws, si2_ws):
         e = xg.shape[0]
         assert e % fwd_block == 0 and e % bwd_block == 0
@@ -351,17 +423,20 @@ def make_fused_conv(
             ),
             out_specs=_especs([d_out], fwd_block)[0],
             interpret=_INTERPRET,
+            compiler_params=_cparams,
         )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
 
-    # block sizes are set by VMEM stack pressure, not by block_e: the
-    # bwd keeps dxg/dsh accumulators + the xm cache resident (~2x the
-    # fwd working set), and large-lmax specs (l3i5: d1=592,
-    # w_numel=1600, ~2x the instruction count) carry far more live
-    # temporaries per row (measured: 7net-0 mid-layer bwd needs ~21M at
-    # block 128; l3i5 mid-layer ~30M at block 64; scoped-vmem limit 16M)
+    # block sizes: the bwd carries ~2x the fwd working set (accumulators
+    # + caches); with the raised scoped-VMEM cap both run at large
+    # blocks. Large-lmax specs (l3i5: d1=592, w_numel=1600, ~2x the
+    # instruction count) still need smaller blocks.
+    import os
     width = d1 + d_out + w_numel
     fwd_block = min(block_e, 256 if width <= 2200 else 128)
-    bwd_block = min(block_e, 64 if width <= 2200 else 16)
+    bwd_block = min(block_e, 256 if width <= 2200 else 64)
+    # perf-tuning overrides (benchmarks only; normal paths use defaults)
+    fwd_block = int(os.environ.get('SEVENNET_CONV_FWD_BLOCK', fwd_block))
+    bwd_block = int(os.environ.get('SEVENNET_CONV_BWD_BLOCK', bwd_block))
 
     def bwd_call(res, g):
         xg, sh, emb, ms, mlp_ws, si2_ws = res
@@ -382,6 +457,7 @@ def make_fused_conv(
             ),
             out_specs=tuple(_especs([d1, f, r], bwd_block)),
             interpret=_INTERPRET,
+            compiler_params=_cparams,
         )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws)
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)

@@ -55,6 +55,63 @@ def test_cell_list_nl_matches_dense():
     assert sd == sc
 
 
+def test_cell_list_pads_never_valid():
+    """Regression: nonzero(size=...) pads repeat flat index 0; when atom
+    0's first diagonal-bin candidate is inside the cutoff those pad rows
+    used to be marked valid, duplicating edge 0 (double-counted energy).
+    """
+    cell = jnp.eye(3, dtype=jnp.float32) * 18.0
+    pos = jnp.asarray(np.array([
+        [0.1, 0.1, 0.1],       # bin (0,0,0)
+        [17.9, 17.9, 17.9],    # bin (2,2,2) == (-1,-1,-1) offset, slot 0
+        [9.0, 9.0, 9.0],
+    ], np.float32))
+    nl = cell_list_neighbor_list(pos, cell, 4.5, 64, (3, 3, 3), 4)
+    nl_d = dense_neighbor_list(pos, cell, 4.5, 64)
+    assert int(nl.valid.sum()) == int(nl_d.valid.sum()) == 2
+    # invalid rows park on the last atom (dst stays sorted for the
+    # sorted-scatter aggregation path)
+    idx = np.asarray(nl.edge_idx)
+    valid = np.asarray(nl.valid)
+    assert (idx[:, ~valid] == 2).all()
+    assert (np.diff(idx[0]) >= 0).all()
+
+
+def test_reverse_permutation_and_gather_rev():
+    from sevennet_exp_tpu.ops.scatter import (
+        gather_rev, reverse_permutation, scatter_sum,
+    )
+
+    rng = np.random.default_rng(5)
+    at = rattled_rocksalt(reps=2, a=5.63, rattle=0.1, seed=4)
+    n = len(at)
+    nl = dense_neighbor_list(
+        jnp.asarray(at.pos, jnp.float32),
+        jnp.asarray(at.cell, jnp.float32), 4.0, e_cap=4096,
+    )
+    rev = reverse_permutation(nl.edge_idx)
+    idx = np.asarray(nl.edge_idx)
+    rev_np = np.asarray(rev)
+    valid = np.asarray(nl.valid)
+    # rev maps each edge to its mirror
+    assert (idx[0, rev_np[valid]] == idx[1, valid]).all()
+    assert (idx[1, rev_np[valid]] == idx[0, valid]).all()
+    # gather_rev: same forward; transpose == scatter-by-src
+    x = jnp.asarray(rng.normal(size=(n, 7)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(idx.shape[1], 7)).astype(np.float32))
+    src = nl.edge_idx[1]
+    dst = nl.edge_idx[0]
+    fwd_plain = x[src]
+    fwd_rev = gather_rev(x, src, rev, dst)
+    np.testing.assert_array_equal(np.asarray(fwd_plain), np.asarray(fwd_rev))
+    _, vjp_plain = jax.vjp(lambda x: x[src], x)
+    _, vjp_rev = jax.vjp(lambda x: gather_rev(x, src, rev, dst), x)
+    np.testing.assert_allclose(
+        np.asarray(vjp_plain(ct)[0]), np.asarray(vjp_rev(ct)[0]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 @pytest.fixture(scope='module')
 def md_setup():
     config = tiny_model_config({'cutoff': 3.5, 'channel': 4, 'lmax': 1,
