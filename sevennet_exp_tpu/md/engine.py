@@ -102,14 +102,6 @@ class MolecularDynamics:
             )
         self.grid = choose_grid(np.asarray(atoms.cell), self.build_cutoff)
         self.use_cell_list = all(g >= 3 for g in self.grid) and n > 512
-        # conservative per-atom neighbor estimate from density
-        vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
-        density = n / vol
-        est = density * 4.19 * self.build_cutoff ** 3 * 1.15 + 8
-        # multiple of 256 so the fused pallas conv path is eligible
-        self.e_cap = edge_capacity or int(
-            np.ceil(n * est / 256.0) * 256
-        )
         # two-tier edge lists: the Verlet list is built at cutoff+skin
         # and reused for k steps, but the model only ever sees edges
         # inside cutoff. Compacting to cutoff+buffer at rebuild time cuts
@@ -118,9 +110,35 @@ class MolecularDynamics:
         # no pair can cross into the cutoff undetected (cf. the
         # reference's nedges*1.2 amortization, pair_e3gnn.cpp:267-273).
         self.md_buffer = min(0.5, skin)
-        est_m = (density * 4.19 * (self.cutoff + self.md_buffer) ** 3
-                 * 1.15 + 8)
-        self.e_cap_model = int(np.ceil(n * est_m / 256.0) * 256)
+        # measured-count capacity sizing: a uniform-density estimate
+        # overshoots ordered structures by up to ~70% (every extra slot
+        # multiplies every per-edge cost in the step). Count the true
+        # pairs at t=0 instead and keep a thermal-fluctuation margin;
+        # overflow during the run regrows caps (see _run_dispatch).
+        vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
+        density = n / vol
+        if edge_capacity:
+            self.e_cap = edge_capacity
+            est_m = (density * 4.19 * (self.cutoff + self.md_buffer) ** 3
+                     * 1.15 + 8)
+            self.e_cap_model = int(np.ceil(n * est_m / 256.0) * 256)
+        else:
+            from ..data.neighborlist import neighbor_list as _host_nl
+            _, _, evec, _ = _host_nl(
+                np.asarray(atoms.pos, np.float64),
+                np.asarray(atoms.cell, np.float64),
+                np.asarray(atoms.pbc), self.build_cutoff,
+            )
+            r = np.linalg.norm(evec, axis=-1)
+            cnt_build = int(r.size)
+            cnt_model = int((r < self.cutoff + self.md_buffer).sum())
+            # multiple of 256 so the fused pallas conv path stays eligible
+            self.e_cap = int(
+                np.ceil((cnt_build * 1.12 + 128) / 256.0) * 256
+            )
+            self.e_cap_model = int(
+                np.ceil((cnt_model * 1.12 + 128) / 256.0) * 256
+            )
         if self.e_cap_model >= self.e_cap:
             self.e_cap_model = self.e_cap
             self.md_buffer = self.skin
