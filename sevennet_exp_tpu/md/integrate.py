@@ -80,14 +80,27 @@ def make_langevin_step(ef_fn: Callable, masses, dt: float, temp_K: float,
 
 
 def make_nose_hoover_step(ef_fn: Callable, masses, dt: float, temp_K: float,
-                          tdamp: float):
-    """Single Nose-Hoover thermostat (LAMMPS `fix nvt`-style, chain of 1)."""
+                          tdamp: float, n_dof: int = None,
+                          ke_reduce: Callable = None):
+    """Single Nose-Hoover thermostat (LAMMPS `fix nvt`-style, chain of 1).
+
+    For domain-decomposed MD pass the GLOBAL degree-of-freedom count
+    (3 x real atoms, not padded rows) as `n_dof` and a cross-device
+    reduction (lax.psum over the mesh axis) as `ke_reduce`: every shard
+    then integrates the same global kinetic energy, so xi stays
+    identical everywhere -- one global thermostat, matching LAMMPS
+    `fix nvt` semantics (zero-mass padded rows must carry zero
+    velocity; see parallel/md.py).
+    """
     inv_m = (1.0 / masses)[:, None]
-    n_dof = 3 * masses.shape[0]
+    if n_dof is None:
+        n_dof = 3 * masses.shape[0]
     Q = n_dof * kB * temp_K * tdamp ** 2
 
     def thermo_half(vel, xi):
         ke2 = jnp.sum(masses[:, None] * vel ** 2)
+        if ke_reduce is not None:
+            ke2 = ke_reduce(ke2)
         xi_dot = (ke2 - n_dof * kB * temp_K) / Q
         xi = xi + 0.5 * dt * xi_dot
         vel = vel * jnp.exp(-0.5 * dt * xi)

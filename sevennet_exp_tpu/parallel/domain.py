@@ -92,19 +92,16 @@ def decompose(
     counts = np.bincount(dev_of, minlength=n_dev)
 
     if caps is not None:
+        # previous caps are a HINT: keep them while they still fit (the
+        # jitted chunk stays shape-stable), regrow any that migration
+        # outgrew (long runs must survive rebinning; cf. the serial
+        # engine's overflow regrowth, md/engine.py _run_dispatch)
         cap_loc, cap_ghost, cap_edge = caps
+        if counts.max() > cap_loc:
+            cap_loc = _round_up(int(counts.max() * cap_margin) + 8, 8)
     else:
         cap_loc = _round_up(int(counts.max() * cap_margin) + 8, 8)
-        # ghosts: atoms within cutoff of a slab face
-        frac_cut = cutoff / width * n_dev  # in units of slab width
-        gcounts = []
-        for d in range(n_dev):
-            in_d = dev_of == d
-            u = frac_wrapped[in_d, axis] * n_dev - d  # [0,1)
-            gcounts.append(int((u < frac_cut).sum()))
-            gcounts.append(int((u > 1 - frac_cut).sum()))
-        cap_ghost = _round_up(int(max(gcounts) * cap_margin) + 8, 8)
-        cap_edge = 0  # set after edge build
+        cap_ghost = cap_edge = 0  # sized below
 
     spec_pos = np.zeros((n_dev, cap_loc, 3))
     spec_z = np.zeros((n_dev, cap_loc), dtype=np.int64)
@@ -130,6 +127,13 @@ def decompose(
     # halo: send atoms near faces; ghost arrival layout on receiver:
     # [local | from_right_neighbor(d+1 sends side 0) | from_left(d-1 side 1)]
     frac_cut = cutoff / width * n_dev
+    gcounts = [0]
+    for d in range(n_dev):
+        u = frac_wrapped[dev_of == d, axis] * n_dev - d  # [0,1)
+        gcounts.append(int((u < frac_cut).sum()))
+        gcounts.append(int((u > 1 - frac_cut).sum()))
+    if max(gcounts) > cap_ghost:  # initial sizing or migration regrowth
+        cap_ghost = _round_up(int(max(gcounts) * cap_margin) + 8, 8)
     send_idx = np.zeros((n_dev, 2, cap_ghost), dtype=np.int64)
     send_mask = np.zeros((n_dev, 2, cap_ghost), dtype=np.float32)
     ghost_shift = np.zeros((n_dev, 2, cap_ghost, 3))
@@ -138,8 +142,6 @@ def decompose(
         u = frac_wrapped[sel, axis] * n_dev - d
         for side, cond in ((0, u < frac_cut), (1, u > 1 - frac_cut)):
             snd = np.nonzero(cond)[0]
-            if len(snd) > cap_ghost:
-                raise ValueError('cap_ghost overflow')
             send_idx[d, side, :len(snd)] = local_row[sel[snd]]
             send_mask[d, side, :len(snd)] = 1.0
             # crossing the global boundary? receiver is d-1 (side 0) or d+1
@@ -178,14 +180,12 @@ def decompose(
             valid[base:base + cnt] = True
         # neighbor pairs (open boundaries: shifts already folded in; the
         # orthogonal directions still need images)
-        sub_pbc = [True] * 3
-        sub_pbc[(0, 1, 2)[0]] = True  # keep full pbc; slab dir handled by
-        # ghosts, but images along slab dir would duplicate ghosts ->
-        # restrict images along the slab axis to 0 by spoofing open bc
-        # only when n_dev > 1:
-        pbc_eff = list(np.atleast_1d(np.asarray([True, True, True])))
+        # ghosts already carry the slab-axis images: suppress periodic
+        # images along the decomposition axis (they would duplicate the
+        # ghost copies), keep them along the orthogonal directions
+        pbc_eff = [True, True, True]
         if n_dev > 1:
-            pbc_eff[0] = False  # axis assumed 0 for image suppression
+            pbc_eff[axis] = False
         vi = np.nonzero(valid)[0]
         ei, ej, evec, _ = host_nl(
             view[vi], cell, pbc_eff, cutoff
@@ -196,15 +196,13 @@ def decompose(
         all_edges.append((gi, gj))
         max_e = max(max_e, len(gi))
 
-    if caps is None:
+    if max_e > cap_edge:  # initial sizing or migration regrowth
         # 256-aligned so the fused pallas conv path stays eligible
         cap_edge = _round_up(int(max_e * cap_margin) + 32, 256)
     edge_idx = np.zeros((n_dev, 2, cap_edge), dtype=np.int32)
     edge_mask = np.zeros((n_dev, cap_edge), dtype=np.float32)
     for d, (gi, gj) in enumerate(all_edges):
         e = len(gi)
-        if e > cap_edge:
-            raise ValueError('cap_edge overflow')
         edge_idx[d, 0, :e] = gi
         edge_idx[d, 1, :e] = gj
         # padded edges point at the last (masked) slot

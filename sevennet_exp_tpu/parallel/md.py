@@ -116,6 +116,10 @@ class ParallelMolecularDynamics:
         self.seed = seed
         self.time_steps = 0
 
+        self.volume = float(abs(np.linalg.det(np.asarray(atoms.cell))))
+        # global thermostat DOF: real atoms only, never padded rows
+        self.n_dof = 3 * len(atoms)
+
         self.spec = decompose(atoms, self.n_dev, self.build_cutoff)
         self._push_state(init_velocities=True)
 
@@ -170,8 +174,12 @@ class ParallelMolecularDynamics:
         return gp, gv
 
     # -- per-shard energy/forces ---------------------------------------
-    def _shard_energy(self, pos_loc, z, loc_mask, send_idx, send_mask,
-                      ghost_shift, edge_idx, edge_mask):
+    def _shard_energy(self, pos_loc, strain, z, loc_mask, send_idx,
+                      send_mask, ghost_shift, edge_idx, edge_mask):
+        """Per-shard energy; `strain` (3, 3) deforms the edge vectors so
+        dE/dstrain (psum'd over shards) is the global virial -- the
+        autodiff analog of the reference's per-pair virial accumulation
+        (pair_e3gnn_parallel.cpp:479-503)."""
         spec = self.spec
         caps = (spec.cap_loc, spec.cap_ghost, self.n_dev)
         pos_refresh = _halo_refresh_fn(
@@ -191,6 +199,7 @@ class ParallelMolecularDynamics:
         safe = jnp.where(
             mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], vec.dtype)
         )
+        safe = safe + safe @ strain
         cap_all = spec.cap_all
         z_all = jnp.concatenate(
             [z, jnp.zeros(2 * spec.cap_ghost, z.dtype)]
@@ -207,24 +216,48 @@ class ParallelMolecularDynamics:
             KEY.BATCH: jnp.zeros(cap_all, dtype=jnp.int32),
             KEY.NUM_ATOMS: jnp.array([cap_all], dtype=jnp.int32),
             KEY.NODE_MASK: node_mask,
-            KEY.CELL_VOLUME: jnp.array([1.0], safe.dtype),
+            KEY.CELL_VOLUME: jnp.array([self.volume], safe.dtype),
         }
         out = self.model.apply_energy(
             self.params, data, halo_refresh=feat_refresh
         )
         return jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
 
-    def _shard_ef(self, pos_loc, z, loc_mask, send_idx, send_mask,
-                  ghost_shift, edge_idx, edge_mask):
-        e, g = jax.value_and_grad(self._shard_energy)(
-            pos_loc, z, loc_mask, send_idx, send_mask, ghost_shift,
+    def _shard_efs(self, pos_loc, z, loc_mask, send_idx, send_mask,
+                   ghost_shift, edge_idx, edge_mask):
+        """(E_total, local forces, global stress Voigt).
+
+        SPMD autodiff through the ppermute collectives makes the local
+        gradient of the local energy equal the gradient of the GLOBAL
+        energy w.r.t. local positions (the VJP of ppermute is the
+        reverse ppermute); psum of the strain gradient is the global
+        virial. Stress convention matches model.py:124-138:
+        -virial/volume, Voigt (xx, yy, zz, xy, yz, zx).
+        """
+        eps0 = jnp.zeros((3, 3), pos_loc.dtype)
+        e, (g_pos, g_eps) = jax.value_and_grad(
+            self._shard_energy, argnums=(0, 1)
+        )(
+            pos_loc, eps0, z, loc_mask, send_idx, send_mask, ghost_shift,
             edge_idx, edge_mask,
         )
         e_tot = jax.lax.psum(e, AXIS)
-        return e_tot, -g
+        v = jax.lax.psum(g_eps, AXIS)
+        stress = -jnp.stack([
+            v[0, 0], v[1, 1], v[2, 2], v[0, 1], v[1, 2], v[2, 0]
+        ]) / self.volume
+        return e_tot, -g_pos, stress
+
+    def _shard_ef(self, pos_loc, z, loc_mask, send_idx, send_mask,
+                  ghost_shift, edge_idx, edge_mask):
+        e, f, _ = self._shard_efs(
+            pos_loc, z, loc_mask, send_idx, send_mask, ghost_shift,
+            edge_idx, edge_mask,
+        )
+        return e, f
 
     # -- step/chunk -----------------------------------------------------
-    def _compiled_chunk(self):
+    def _compiled_chunk(self, length: int):
         spec = self.spec
 
         def shard_chunk(pos, vel, key, xi, z, loc_mask, masses,
@@ -253,9 +286,14 @@ class ParallelMolecularDynamics:
             if self.ensemble == 'nve':
                 step = integrate.make_nve_step(ef, masses_safe, self.dt)
             else:
+                # GLOBAL Nose-Hoover: kinetic energy psum'd over the
+                # mesh, DOF = 3 x real atoms (padded rows carry zero
+                # velocity), so xi evolves identically on every shard
+                # -- one thermostat, not n_dev independent ones
                 step = integrate.make_nose_hoover_step(
                     ef, masses_safe, self.dt, self.temperature_K,
-                    self.tdamp,
+                    self.tdamp, n_dof=self.n_dof,
+                    ke_reduce=lambda ke: jax.lax.psum(ke, AXIS),
                 )
 
             e0, f0 = ef(pos, None)
@@ -271,40 +309,59 @@ class ParallelMolecularDynamics:
                 return s2, None
 
             state, _ = jax.lax.scan(
-                body, state, None, length=self.rebuild_every
+                body, state, None, length=length
+            )
+            ke = jax.lax.psum(
+                0.5 * jnp.sum(masses[:, None] * state.vel ** 2), AXIS
+            )
+            from ..md.units import kB
+            temp = 2.0 * ke / (self.n_dof * kB)
+            _, _, stress = self._shard_efs(
+                state.pos, z, loc_mask, send_idx, send_mask,
+                ghost_shift, edge_idx, edge_mask,
             )
             return (
                 state.pos[None], state.vel[None], state.key[None],
-                state.xi[None], state.energy[None],
+                state.xi[None], state.energy[None], temp[None],
+                stress[None],
             )
 
-        in_specs = tuple([P(AXIS)] * 2 + [P(AXIS), P(AXIS)]
-                         + [P(AXIS)] * 9)
         # (pos, vel, key, xi, z, loc_mask, masses, send_idx, send_mask,
         #  ghost_shift, edge_idx, edge_mask, forces0)
         fn = shard_map(
             shard_chunk, mesh=self.mesh,
             in_specs=tuple([P(AXIS)] * 13),
-            out_specs=tuple([P(AXIS)] * 5),
+            out_specs=tuple([P(AXIS)] * 7),
             check_vma=False,
         )
         return jax.jit(fn)
 
+    def _chunk_for(self, length: int):
+        """Jitted chunk per (length, caps) signature, cached across
+        run() calls and cap regrowths (cf. md/engine.py _chunk_cached)."""
+        key = (length, self.spec.cap_loc, self.spec.cap_ghost,
+               self.spec.cap_edge)
+        chunks = getattr(self, '_chunks', None)
+        if chunks is None:
+            chunks = self._chunks = {}
+        if key not in chunks:
+            chunks[key] = self._compiled_chunk(length)
+        return chunks[key]
+
     def run(self, n_steps: int) -> Dict[str, np.ndarray]:
-        # cache the jitted chunk across run() calls (re-jitting would
-        # retrace every call; cf. md/engine.py _chunk_cached) — shape
-        # changes from rebinning still retrace through the jit cache
-        if not hasattr(self, '_chunk'):
-            self._chunk = self._compiled_chunk()
-        chunk = self._chunk
-        n_chunks = max(1, n_steps // self.rebuild_every)
+        """Advance exactly n_steps (full rebuild_every-sized chunks plus
+        one remainder chunk); returns per-chunk energy / temperature /
+        stress (Voigt, eV/A^3)."""
         if not hasattr(self, '_keys'):
             base = jax.random.PRNGKey(self.seed + 1)
             self._keys = jax.random.split(base, self.n_dev)
             self._xi = jnp.zeros((self.n_dev,), self.dtype)
-        energies = []
-        for _ in range(n_chunks):
-            pos, vel, keys, xi, e = chunk(
+        energies, temps, stresses = [], [], []
+        done = 0
+        while done < n_steps:
+            length = min(self.rebuild_every, n_steps - done)
+            chunk = self._chunk_for(length)
+            pos, vel, keys, xi, e, temp, stress = chunk(
                 self.pos, self.vel, self._keys, self._xi,
                 self.Z, self.loc_mask, self.masses,
                 self.send_idx, self.send_mask, self.ghost_shift,
@@ -314,11 +371,22 @@ class ParallelMolecularDynamics:
             self.pos, self.vel = pos, vel
             self._keys, self._xi = keys, xi
             energies.append(float(np.asarray(e)[0]))
-            self._rebuild()
-        return {'energy': np.array(energies)}
+            temps.append(float(np.asarray(temp)[0]))
+            stresses.append(np.asarray(stress)[0])
+            done += length
+            self.time_steps += length
+            if done < n_steps:
+                self._rebuild()
+        return {
+            'energy': np.array(energies),
+            'temperature': np.array(temps),
+            'stress': np.array(stresses),
+        }
 
     def _rebuild(self):
-        """Host-side rebin + fresh index maps (atom migration)."""
+        """Host-side rebin + fresh index maps (atom migration). Caps are
+        kept when they still fit and regrown otherwise (decompose
+        handles the growth; shape changes re-jit via _chunk_for)."""
         gp, gv = self.gather_global()
         at = Atoms(
             atomic_numbers=self.atoms.atomic_numbers, pos=gp,
@@ -333,24 +401,24 @@ class ParallelMolecularDynamics:
         self._push_state(vel_global=gv)
 
     # -- single-shot energy/forces (for the oracle test) ----------------
-    def energy_forces(self):
+    def energy_forces(self, return_stress: bool = False):
         def shard_fn(pos, z, loc_mask, send_idx, send_mask, ghost_shift,
                      edge_idx, edge_mask):
             sq = lambda a: a.reshape(a.shape[1:])
-            e, f = self._shard_ef(
+            e, f, s = self._shard_efs(
                 sq(pos), sq(z), sq(loc_mask), sq(send_idx),
                 sq(send_mask), sq(ghost_shift), sq(edge_idx),
                 sq(edge_mask),
             )
-            return e[None], f[None]
+            return e[None], f[None], s[None]
 
         fn = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=tuple([P(AXIS)] * 8),
-            out_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
             check_vma=False,
         )
-        e, f = jax.jit(fn)(
+        e, f, s = jax.jit(fn)(
             self.pos, self.Z, self.loc_mask, self.send_idx,
             self.send_mask, self.ghost_shift, self.edge_idx,
             self.edge_mask,
@@ -366,4 +434,6 @@ class ParallelMolecularDynamics:
             m = int(spec.n_loc[d])
             fg[spec.owner_perm[off:off + m]] = f[d, :m]
             off += m
+        if return_stress:
+            return e_tot, fg, np.asarray(s)[0]
         return e_tot, fg
