@@ -59,6 +59,9 @@ EDGE_MASK = 'edge_mask'                 # (E,)
 EDGE_REV = 'edge_rev'                   # (E,) reverse-edge permutation
 #   (present only when the edge list is symmetric + dst-sorted; enables
 #   sorted-scatter aggregation, see ops/scatter.py)
+EDGE_DENSE_D = 'edge_dense_d'           # python int (in-trace static):
+#   dense neighbor-grid layout — row i*D + k is atom i's k-th incident
+#   edge; aggregation = reshape(N, D, F).sum(1), scatter-free
 GRAPH_MASK = 'graph_mask'               # (G,)
 
 # -- train / data configuration keys ---------------------------------------

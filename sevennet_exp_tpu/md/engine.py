@@ -23,7 +23,7 @@ from .. import _keys as KEY
 from ..data.graph import Atoms
 from ..data.periodic import atomic_masses
 from ..model.model import SevenNetModel
-from ..ops.scatter import reverse_permutation
+from ..ops.scatter import gather_pair, reverse_permutation
 from . import integrate
 from .integrate import MDState
 from .neighbor import (
@@ -115,33 +115,35 @@ class MolecularDynamics:
         # multiplies every per-edge cost in the step). Count the true
         # pairs at t=0 instead and keep a thermal-fluctuation margin;
         # overflow during the run regrows caps (see _run_dispatch).
+        #
+        # The model never sees the Verlet list directly: _compact_nl
+        # re-lays it out as a dense per-atom neighbor grid of deg_cap
+        # slots (row i*D + k = atom i's k-th neighbor inside
+        # cutoff+buffer), which makes every aggregation in the network a
+        # static reshape-reduction instead of a scatter (ops/scatter.py).
         vol = float(abs(np.linalg.det(np.asarray(atoms.cell))))
         density = n / vol
         if edge_capacity:
             self.e_cap = edge_capacity
             est_m = (density * 4.19 * (self.cutoff + self.md_buffer) ** 3
                      * 1.15 + 8)
-            self.e_cap_model = int(np.ceil(n * est_m / 256.0) * 256)
+            self.deg_cap = int(np.ceil((est_m * 1.15 + 2) / 4.0) * 4)
         else:
             from ..data.neighborlist import neighbor_list as _host_nl
-            _, _, evec, _ = _host_nl(
+            ei, _, evec, _ = _host_nl(
                 np.asarray(atoms.pos, np.float64),
                 np.asarray(atoms.cell, np.float64),
                 np.asarray(atoms.pbc), self.build_cutoff,
             )
             r = np.linalg.norm(evec, axis=-1)
             cnt_build = int(r.size)
-            cnt_model = int((r < self.cutoff + self.md_buffer).sum())
             # multiple of 256 so the fused pallas conv path stays eligible
             self.e_cap = int(
                 np.ceil((cnt_build * 1.12 + 128) / 256.0) * 256
             )
-            self.e_cap_model = int(
-                np.ceil((cnt_model * 1.12 + 128) / 256.0) * 256
-            )
-        if self.e_cap_model >= self.e_cap:
-            self.e_cap_model = self.e_cap
-            self.md_buffer = self.skin
+            close = ei[r < self.cutoff + self.md_buffer]
+            deg_max = int(np.bincount(close, minlength=n).max())
+            self.deg_cap = int(np.ceil((deg_max * 1.15 + 2) / 4.0) * 4)
         self.cell_cap = int(np.ceil(
             density * np.prod(self._cell_widths(np.asarray(atoms.cell))
                               / np.asarray(self.grid)) * 2.5 + 8
@@ -197,15 +199,22 @@ class MolecularDynamics:
     # -- potential -----------------------------------------------------
     def _energy_fn(self, pos, nl: NeighborState):
         edge_idx = nl.edge_idx
-        vec = mic_displacements(
-            pos[edge_idx[0]], pos[edge_idx[1]], self.cell, self.inv_cell
-        )
+        if nl.rev is not None:
+            # dense neighbor grid (see _compact_nl): gathers carry
+            # scatter-free custom VJPs -- the force assembly becomes a
+            # reshape-reduction instead of two scatter-adds
+            data = {KEY.EDGE_REV: nl.rev, KEY.EDGE_DENSE_D: self.deg_cap}
+            pi, pj = gather_pair(pos, edge_idx, nl.rev,
+                                 dense_d=self.deg_cap)
+        else:
+            data = {}
+            pi, pj = pos[edge_idx[0]], pos[edge_idx[1]]
+        vec = mic_displacements(pi, pj, self.cell, self.inv_cell)
         r2 = jnp.sum(vec * vec, axis=-1)
         mask = nl.valid & (r2 < self.cutoff ** 2)
         safe = jnp.where(
             mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], dtype=vec.dtype)
         )
-        data = {} if nl.rev is None else {KEY.EDGE_REV: nl.rev}
         data |= {
             KEY.ATOMIC_NUMBERS: self.Z,
             KEY.EDGE_IDX: edge_idx,
@@ -250,30 +259,49 @@ class MolecularDynamics:
             pos, self.cell, self.build_cutoff, self.e_cap
         )
 
+    @property
+    def e_cap_model(self) -> int:
+        """Row count of the model-facing dense grid (256-aligned for the
+        fused pallas conv path; rows beyond n*deg_cap are alignment
+        pads)."""
+        return int(np.ceil(self.n * self.deg_cap / 256.0) * 256)
+
     def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
-        """Shrink the Verlet list to edges within cutoff+buffer (stable
-        partition by validity); the model's per-step work scales with
-        this capacity, not the build capacity. Also attaches the
-        reverse-edge permutation (symmetric list) enabling sorted-scatter
-        aggregation in the model (ops/scatter.py)."""
-        if self.e_cap_model >= self.e_cap:
-            return nl._replace(rev=reverse_permutation(nl.edge_idx))
+        """Re-lay the Verlet list out as a dense per-atom neighbor grid.
+
+        Row ``i*deg_cap + k`` holds atom i's k-th neighbor inside
+        cutoff+buffer (two-tier trick: the model's per-step work scales
+        with the grid, not the build capacity). The grid makes every
+        aggregation in the network a static reshape-reduction instead of
+        a scatter-add (measured 4-5x cheaper on v5e; ops/scatter.py),
+        keeps dst trivially sorted, and pairs pad rows as self-edges so
+        the reverse-edge permutation stays an involution.
+        """
+        D = self.deg_cap
         vec = mic_displacements(
             pos[nl.edge_idx[0]], pos[nl.edge_idx[1]],
             self.cell, self.inv_cell,
         )
         r2 = jnp.sum(vec * vec, axis=-1)
         keep = nl.valid & (r2 < (self.cutoff + self.md_buffer) ** 2)
-        order = jnp.argsort(jnp.logical_not(keep), stable=True)
-        idx = order[:self.e_cap_model]
-        overflow = nl.overflow | (
-            jnp.sum(keep) > self.e_cap_model
-        )
-        valid = keep[idx]
-        # dropped rows keep stale (i, j); repoint them at the last atom so
-        # dst stays ascending for the sorted message scatter
-        edge_idx = jnp.where(valid[None, :], nl.edge_idx[:, idx],
-                             self.n - 1)
+        dst, src = nl.edge_idx[0], nl.edge_idx[1]
+        # rank of each kept edge within its (sorted) dst segment,
+        # counting kept edges only
+        ckeep = jnp.cumsum(keep)
+        starts = jnp.searchsorted(dst, jnp.arange(self.n))
+        pref = jnp.where(starts > 0, ckeep[jnp.maximum(starts - 1, 0)], 0)
+        rank = (ckeep - 1) - pref[dst]
+        ok = keep & (rank < D)
+        e_model = self.e_cap_model
+        row = jnp.where(ok, dst * D + rank, e_model)  # OOB rows dropped
+        # default rows are masked self-edges (i, i): they aggregate into
+        # their own atom's segment and pair among themselves under rev
+        base = jnp.minimum(jnp.arange(e_model) // D, self.n - 1)
+        base = base.astype(jnp.int32)
+        src_p = base.at[row].set(src.astype(jnp.int32), mode='drop')
+        valid = jnp.zeros(e_model, bool).at[row].set(True, mode='drop')
+        overflow = nl.overflow | jnp.any(keep & (rank >= D))
+        edge_idx = jnp.stack([base, src_p])
         return NeighborState(
             edge_idx=edge_idx,
             valid=valid,
@@ -303,7 +331,7 @@ class MolecularDynamics:
         per run() would retrace and (over a remote/tunneled backend)
         recompile every call — the compiled callable must be cached for
         the jit cache to hit (static n_outer/k still key it)."""
-        key = (self.ensemble, self.e_cap, self.e_cap_model,
+        key = (self.ensemble, self.e_cap, self.deg_cap,
                self.rebuild_every, self.use_cell_list, self.cell_cap)
         cached = getattr(self, '_chunk_key', None)
         if cached != key:
@@ -376,16 +404,10 @@ class MolecularDynamics:
         state, metrics = chunk(self.state, n_outer, k)
         metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
         if metrics['overflow'].any():
-            self.e_cap = int(self.e_cap * 1.5 // 256 + 1) * 256
-            self.e_cap_model = min(
-                self.e_cap,
-                int(self.e_cap_model * 1.5 // 256 + 1) * 256,
-            )
-            if self.e_cap_model >= self.e_cap:
-                # compaction effectively off: the full Verlet list is
-                # valid out to cutoff+skin, so relax the staleness
-                # bound back to skin (mirrors __init__)
-                self.md_buffer = self.skin
+            # one flag covers both tiers; grow both modestly (rare, and
+            # a too-big Verlet list only costs rebuild time)
+            self.e_cap = int(self.e_cap * 1.25 // 256 + 1) * 256
+            self.deg_cap = int(np.ceil(self.deg_cap * 1.25 / 4.0) * 4)
             return None  # retry from the same state
         if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
             # neighbor list went stale inside a chunk: jump straight to

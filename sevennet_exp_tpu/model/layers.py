@@ -279,10 +279,12 @@ class IrrepsConvolution:
         edge_src = edge_idx[1]
         edge_dst = edge_idx[0]
         # EDGE_REV present => symmetric dst-sorted list: gather with a
-        # sorted-scatter transpose, and sorted forward aggregation
+        # scatter-free transpose and matching forward aggregation
+        # (dense reshape-reduction when the dense grid layout is used)
         rev = data.get(KEY.EDGE_REV)
+        dd = data.get(KEY.EDGE_DENSE_D)
         if rev is not None:
-            xg = gather_rev(x, edge_src, rev, edge_dst)
+            xg = gather_rev(x, edge_src, rev, edge_dst, dense_d=dd)
         else:
             xg = x[edge_src]
         sh = data[self.key_filter]
@@ -314,12 +316,12 @@ class IrrepsConvolution:
             )
             y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
             out = scatter_sum(y, edge_dst, x.shape[0],
-                              sorted=rev is not None)
+                              sorted=rev is not None, dense_d=dd)
         else:
             w = self.weight_nn.apply(params['weight_nn'], emb) * scale
             message = self.tp.apply(xg, sh, w)
             agg = scatter_sum(message, edge_dst, x.shape[0],
-                              sorted=rev is not None)
+                              sorted=rev is not None, dense_d=dd)
             if self.si2 is None:
                 data[self.key_x] = agg
                 return data

@@ -111,11 +111,14 @@ class SevenNetModel:
         edge_idx = data[KEY.EDGE_IDX]
         n_nodes = data[KEY.ATOMIC_NUMBERS].shape[0]
         rev = data.get(KEY.EDGE_REV)
+        dd = data.get(KEY.EDGE_DENSE_D)
         if rev is not None:
-            # symmetric dst-sorted list: both scatters ride the sorted
-            # emitter; the src-scatter becomes a rev-gather + dst-scatter
-            pf = scatter_sum(fij, edge_idx[0], n_nodes, sorted=True)
-            nf = scatter_sum(fij[rev], edge_idx[0], n_nodes, sorted=True)
+            # symmetric dst-sorted list: both scatters become dst
+            # aggregations; the src-scatter rides the rev permutation
+            pf = scatter_sum(fij, edge_idx[0], n_nodes, sorted=True,
+                             dense_d=dd)
+            nf = scatter_sum(fij[rev], edge_idx[0], n_nodes, sorted=True,
+                             dense_d=dd)
         else:
             pf = scatter_sum(fij, edge_idx[0], n_nodes)
             nf = scatter_sum(fij, edge_idx[1], n_nodes)
