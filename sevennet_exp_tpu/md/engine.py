@@ -261,10 +261,12 @@ class MolecularDynamics:
 
     @property
     def e_cap_model(self) -> int:
-        """Row count of the model-facing dense grid (256-aligned for the
-        fused pallas conv path; rows beyond n*deg_cap are alignment
-        pads)."""
-        return int(np.ceil(self.n * self.deg_cap / 256.0) * 256)
+        """Row count of the model-facing dense grid (aligned to the
+        fused-kernel aggregation block so the in-kernel reduction stays
+        eligible; rows beyond n*deg_cap are alignment pads)."""
+        from ..ops.pallas_conv import agg_block_unit
+        unit = agg_block_unit(self.deg_cap)
+        return int(np.ceil(self.n * self.deg_cap / unit) * unit)
 
     def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
         """Re-lay the Verlet list out as a dense per-atom neighbor grid.

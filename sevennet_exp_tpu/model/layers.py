@@ -298,7 +298,9 @@ class IrrepsConvolution:
             self.si2 is not None
             and pallas_conv.is_enabled()
             and xg.ndim == 2
-            and xg.shape[0] % 256 == 0
+            and xg.shape[0] % (
+                pallas_conv.agg_block_unit(dd) if dd else 256
+            ) == 0
             and len(self.weight_nn.hs) == 4
             and not self.si2.biases
         )
@@ -312,11 +314,16 @@ class IrrepsConvolution:
                 for n in range(len(self.si2.paths))
             )
             fused, _ = pallas_conv.make_fused_conv(
-                self.tp, self.weight_nn, self.si2
+                self.tp, self.weight_nn, self.si2, agg_d=dd or 0
             )
             y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
-            out = scatter_sum(y, edge_dst, x.shape[0],
-                              sorted=rev is not None, dense_d=dd)
+            if dd:
+                # dense grid + in-kernel aggregation: y is already node
+                # rows; drop the alignment-pad tail
+                out = y[:x.shape[0]]
+            else:
+                out = scatter_sum(y, edge_dst, x.shape[0],
+                                  sorted=rev is not None)
         else:
             w = self.weight_nn.apply(params['weight_nn'], emb) * scale
             message = self.tp.apply(xg, sh, w)

@@ -226,17 +226,39 @@ def _act_grad(pre, act_name):
     raise ValueError(act_name)
 
 
+def _pow2_floor(k: int) -> int:
+    return 1 << (max(1, k).bit_length() - 1)
+
+
+def agg_block_unit(d: int, target: int = 256) -> int:
+    """Edge-block size for the aggregated kernel: the largest
+    power-of-2 multiple of d at or under ~target rows (floor 1x d).
+    Power-of-2 multiples guarantee every smaller target's block divides
+    the largest one, so one array padding serves all layer widths."""
+    return d * _pow2_floor(target // d if target >= d else 1)
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_conv(
     tp_spec: UVUTensorProductSpec,
     mlp_spec: FullyConnectedNetSpec,
     si2_spec: LinearSpec,
     block_e: int = 256,
+    agg_d: int = 0,
 ):
-    """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y (E, d_out).
+    """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y.
 
     mlp_ws: tuple of raw MLP weights (as stored, N(0,1) scale);
     si2_ws: tuple of si2 path weight matrices (as stored).
+
+    agg_d > 0 activates the dense neighbor-grid contract (row i*D + k =
+    atom i's k-th incident edge, ops/scatter.py): the kernel aggregates
+    messages over each atom's D rows INSIDE the block and returns
+    (E/D, d_out) node rows directly. The aggregation folds into the si2
+    contraction as a block-diagonal ones matmul BEFORE the weight dot --
+    a D-fold FLOP cut on the si2 stage, a D-fold cut in output HBM
+    traffic, and no XLA-side reduction afterwards. The backward reads
+    the D-fold smaller node cotangent and re-expands it on the MXU.
     """
     plan, w_numel = _tp_plan(tp_spec)
     groups, d_out = _si2_groups(tp_spec, si2_spec)
@@ -272,6 +294,15 @@ def make_fused_conv(
         )
         w_rad = w_rad * ms_ref[...]
         b = xg_ref.shape[0]
+        if agg_d:
+            # block-diagonal ones (B/D, B): one MXU matmul sums each
+            # atom's D message rows; applied BEFORE the si2 weight dot
+            # (legal: si2 is linear), cutting its FLOPs D-fold
+            rows = b // agg_d
+            A = (jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
+                 // agg_d
+                 == jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0)
+                 ).astype(jnp.float32)
         out_ref[...] = jnp.zeros_like(out_ref)
         # group-major: per si2 output entry j, build the weighted message
         # pieces of all feeding instructions, concat along K, and run one
@@ -292,6 +323,8 @@ def make_fused_conv(
             for p in range(grp['dim3']):
                 cat = (jnp.concatenate([aw[p] for aw in accw], axis=1)
                        if len(accw) > 1 else accw[0][p])
+                if agg_d:
+                    cat = _dot(A, cat)
                 out_ref[:, oo + p * mo: oo + (p + 1) * mo] = _dot(cat, W)
 
     def bwd_kernel(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
@@ -304,6 +337,15 @@ def make_fused_conv(
         )
         ms = ms_ref[...]
         w_eff = w_rad * ms
+        if agg_d:
+            # expansion matrix (B, B/D): broadcast each atom's node
+            # cotangent back to its D edge rows on the MXU
+            bb = dxg_ref.shape[0]
+            rows = bb // agg_d
+            AT = (jax.lax.broadcasted_iota(jnp.int32, (bb, rows), 0)
+                  // agg_d
+                  == jax.lax.broadcasted_iota(jnp.int32, (bb, rows), 1)
+                  ).astype(jnp.float32)
         # register-resident accumulators, refs written ONCE at the end
         dxg_acc = {}   # (x_off + m*mul, mul) -> (B, mul)
         dsh_acc = {}   # sh column index -> (B, 1)
@@ -317,6 +359,8 @@ def make_fused_conv(
                 _dot(g_ref[:, oo + p * mo: oo + (p + 1) * mo], W.T)
                 for p in range(grp['dim3'])
             ]
+            if agg_d:
+                gmcat = [_dot(AT, gm) for gm in gmcat]
             for p_ins, row in grp['ks']:
                 mul = p_ins['mul']
                 xo, so, wo = (p_ins['x_off'], p_ins['sh_off'],
@@ -380,7 +424,8 @@ def make_fused_conv(
             key = (p_ins['w_off'], p_ins['mul'])
             v = dw_eff_cols.get(key)
             if v is None:
-                v = jnp.zeros((g_ref.shape[0], p_ins['mul']), jnp.float32)
+                v = jnp.zeros((dxg_ref.shape[0], p_ins['mul']),
+                              jnp.float32)
             pieces.append(v)
         dw_eff = jnp.concatenate(pieces, axis=1)
         dw_rad = dw_eff * ms
@@ -413,15 +458,17 @@ def make_fused_conv(
         assert e % fwd_block == 0 and e % bwd_block == 0
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
+        n_out = e // agg_d if agg_d else e
+        out_rows = fwd_block // agg_d if agg_d else fwd_block
         return pl.pallas_call(
             fwd_kernel,
-            out_shape=jax.ShapeDtypeStruct((e, d_out), xg.dtype),
+            out_shape=jax.ShapeDtypeStruct((n_out, d_out), xg.dtype),
             grid=(e // fwd_block,),
             in_specs=(
                 _especs([d1, f, r, 1], fwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
             ),
-            out_specs=_especs([d_out], fwd_block)[0],
+            out_specs=_especs([d_out], out_rows)[0],
             interpret=_INTERPRET,
             compiler_params=_cparams,
         )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
@@ -429,11 +476,18 @@ def make_fused_conv(
     # block sizes: the bwd carries ~2x the fwd working set (accumulators
     # + caches); with the raised scoped-VMEM cap both run at large
     # blocks. Large-lmax specs (l3i5: d1=592, w_numel=1600, ~2x the
-    # instruction count) still need smaller blocks.
+    # instruction count) still need smaller blocks. Aggregated kernels
+    # need edge blocks that are multiples of agg_d.
     import os
     width = d1 + d_out + w_numel
-    fwd_block = min(block_e, 256 if width <= 2200 else 128)
-    bwd_block = min(block_e, 256 if width <= 2200 else 64)
+    fwd_target = 256 if width <= 2200 else 128
+    bwd_target = 256 if width <= 2200 else 64
+    if agg_d:
+        fwd_block = agg_block_unit(agg_d, min(block_e, fwd_target))
+        bwd_block = agg_block_unit(agg_d, min(block_e, bwd_target))
+    else:
+        fwd_block = min(block_e, fwd_target)
+        bwd_block = min(block_e, bwd_target)
     # perf-tuning overrides (benchmarks only; normal paths use defaults)
     fwd_block = int(os.environ.get('SEVENNET_CONV_FWD_BLOCK', fwd_block))
     bwd_block = int(os.environ.get('SEVENNET_CONV_BWD_BLOCK', bwd_block))
@@ -443,6 +497,7 @@ def make_fused_conv(
         e = xg.shape[0]
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
+        g_rows = bwd_block // agg_d if agg_d else bwd_block
         dxg, dsh, demb = pl.pallas_call(
             bwd_kernel,
             out_shape=(
@@ -452,7 +507,8 @@ def make_fused_conv(
             ),
             grid=(e // bwd_block,),
             in_specs=(
-                _especs([d_out, d1, f, r, 1], bwd_block)
+                _especs([d_out], g_rows)
+                + _especs([d1, f, r, 1], bwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
             ),
             out_specs=tuple(_especs([d1, f, r], bwd_block)),

@@ -73,3 +73,26 @@ def test_fused_conv_matches_xla_lmax3():
         np.asarray(out_ref[KEY.PRED_FORCE]),
         np.asarray(out_fused[KEY.PRED_FORCE]), atol=1e-3,
     )
+
+
+def test_fused_agg_conv_matches_xla_md_engine():
+    """Dense neighbor-grid MD path: the in-kernel-aggregated fused conv
+    (agg_d > 0 -> node-row output, block-diagonal MXU reduction) must
+    match the XLA dense-reduction path for energy AND forces."""
+    from samples import rattled_rocksalt
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+
+    model = build_e3_equivariant_model(tiny_model_config())
+    params, _ = model.init(jax.random.PRNGKey(0))
+    at = rattled_rocksalt(reps=3, a=3.2, rattle=0.05, seed=1)  # 216 atoms
+    md = MolecularDynamics(model, params, at, skin=0.5,
+                           use_pallas=False)
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    pallas_tp.enable(True)
+    e_fused, f_fused = md._ef_fn(md.state.pos, nl)
+
+    np.testing.assert_allclose(float(e_fused), float(e_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_ref),
+                               atol=1e-3)
