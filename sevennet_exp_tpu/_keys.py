@@ -62,6 +62,9 @@ EDGE_REV = 'edge_rev'                   # (E,) reverse-edge permutation
 EDGE_DENSE_D = 'edge_dense_d'           # python int (in-trace static):
 #   dense neighbor-grid layout — row i*D + k is atom i's k-th incident
 #   edge; aggregation = reshape(N, D, F).sum(1), scatter-free
+CONV_CHUNK_ROWS = 'conv_chunk_rows'     # python int (in-trace static):
+#   memory-chunked convolution — scan over row chunks with remat so
+#   O(E x d1) gathered features never materialize (100k-atom regime)
 GRAPH_MASK = 'graph_mask'               # (G,)
 
 # -- train / data configuration keys ---------------------------------------

@@ -111,6 +111,10 @@ def main_get_model(argv=None):
     p.add_argument('checkpoint')
     p.add_argument('-o', '--output', default=None)
     p.add_argument('-p', '--parallel', action='store_true')
+    p.add_argument('--n-node', type=int, default=64,
+                   help='node capacity of the exported program')
+    p.add_argument('--n-edge', type=int, default=1024,
+                   help='edge capacity of the exported program')
     args = p.parse_args(argv)
 
     from ..scripts.deploy import deploy, deploy_parallel
@@ -120,7 +124,8 @@ def main_get_model(argv=None):
             args.checkpoint, args.output or 'deployed_parallel'
         )
     else:
-        out = deploy(args.checkpoint, args.output or 'deployed_serial')
+        out = deploy(args.checkpoint, args.output or 'deployed_serial',
+                     n_node=args.n_node, n_edge=args.n_edge)
     print(f'deployed to {out}')
 
 

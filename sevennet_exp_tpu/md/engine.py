@@ -57,6 +57,7 @@ class MolecularDynamics:
         edge_capacity: Optional[int] = None,
         use_pallas: Optional[bool] = None,
         d3: Optional[object] = None,
+        conv_chunk_atoms: Optional[int] = None,
     ):
         """d3: optional ops.d3.D3Dispersion added to the potential — the
         TPU equivalent of the reference's LAMMPS recipe
@@ -144,6 +145,11 @@ class MolecularDynamics:
             close = ei[r < self.cutoff + self.md_buffer]
             deg_max = int(np.bincount(close, minlength=n).max())
             self.deg_cap = int(np.ceil((deg_max * 1.15 + 2) / 4.0) * 4)
+        # memory-chunked convolution (large systems): above ~512k dense
+        # rows, gathered per-edge features (E x d1 fp32 per layer) would
+        # blow HBM; scan the conv in chunks with remat instead
+        # (layers.py CONV_CHUNK_ROWS path). None = auto threshold.
+        self.conv_chunk_atoms = conv_chunk_atoms
         self.cell_cap = int(np.ceil(
             density * np.prod(self._cell_widths(np.asarray(atoms.cell))
                               / np.asarray(self.grid)) * 2.5 + 8
@@ -204,6 +210,8 @@ class MolecularDynamics:
             # scatter-free custom VJPs -- the force assembly becomes a
             # reshape-reduction instead of two scatter-adds
             data = {KEY.EDGE_REV: nl.rev, KEY.EDGE_DENSE_D: self.deg_cap}
+            if self.conv_chunk_rows:
+                data[KEY.CONV_CHUNK_ROWS] = self.conv_chunk_rows
             pi, pj = gather_pair(pos, edge_idx, nl.rev,
                                  dense_d=self.deg_cap)
         else:
@@ -267,6 +275,20 @@ class MolecularDynamics:
         from ..ops.pallas_conv import agg_block_unit
         unit = agg_block_unit(self.deg_cap)
         return int(np.ceil(self.n * self.deg_cap / unit) * unit)
+
+    @property
+    def conv_chunk_rows(self) -> int:
+        """0 = whole-array convolution; else the scan-chunk row count
+        (multiple of the kernel aggregation block)."""
+        from ..ops.pallas_conv import agg_block_unit
+        unit = agg_block_unit(self.deg_cap)
+        if self.conv_chunk_atoms:
+            rows = self.conv_chunk_atoms * self.deg_cap
+        elif self.e_cap_model > 524288:
+            rows = 131072
+        else:
+            return 0
+        return max(unit, rows // unit * unit)
 
     def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
         """Re-lay the Verlet list out as a dense per-atom neighbor grid.
@@ -334,7 +356,8 @@ class MolecularDynamics:
         recompile every call — the compiled callable must be cached for
         the jit cache to hit (static n_outer/k still key it)."""
         key = (self.ensemble, self.e_cap, self.deg_cap,
-               self.rebuild_every, self.use_cell_list, self.cell_cap)
+               self.rebuild_every, self.use_cell_list, self.cell_cap,
+               self.conv_chunk_rows)
         cached = getattr(self, '_chunk_key', None)
         if cached != key:
             self._chunk = self._compiled_chunk()

@@ -109,8 +109,15 @@ def cell_list_neighbor_list(
     cand = bins[cand_bin].reshape(n, 27 * cell_cap)           # (N, 27*cap)
 
     pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
-    d = mic_displacements(pos[:, None, :], pos_pad[cand], cell, inv_cell)
-    d2 = jnp.sum(d * d, axis=-1)
+    # component-wise MIC: a stacked (N, 27*cap, 3) displacement array
+    # would be lane-padded 3 -> 128 by the TPU tiler (42x memory, 47 GB
+    # at 100k atoms); three (N, 27*cap) planes tile cleanly instead
+    d_c = [pos_pad[:, a][cand] - pos[:, a][:, None] for a in range(3)]
+    f_c = [sum(d_c[b] * inv_cell[b, a] for b in range(3))
+           for a in range(3)]
+    f_c = [f - jnp.round(f) for f in f_c]
+    w_c = [sum(f_c[b] * cell[b, a] for b in range(3)) for a in range(3)]
+    d2 = w_c[0] * w_c[0] + w_c[1] * w_c[1] + w_c[2] * w_c[2]
     ok = (cand < n) & (d2 < cutoff * cutoff)
     ok = ok & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
 

@@ -273,6 +273,45 @@ class IrrepsConvolution:
             mask['si2'] = {k: True for k in si2_p}
         return p, mask
 
+    def _fused_eligible(self, rows: int, dd) -> bool:
+        return (
+            self.si2 is not None
+            and pallas_conv.is_enabled()
+            and rows % (
+                pallas_conv.agg_block_unit(dd) if dd else 256
+            ) == 0
+            and len(self.weight_nn.hs) == 4
+            and not self.si2.biases
+        )
+
+    def _rows_to_nodes(self, params, xg, sh, emb, scale, dd):
+        """Per-edge rows (dense-grid contract, ops/scatter.py) -> node
+        rows (rows/dd, d_out): fused kernel with in-kernel aggregation,
+        or the XLA path with a reshape-reduction. Shared by the
+        whole-array and the memory-chunked execution paths."""
+        x_dtype = xg.dtype
+        if self._fused_eligible(xg.shape[0], dd):
+            mlp_ws = tuple(
+                params['weight_nn'][f'w{i}'].astype(x_dtype)
+                for i in range(len(self.weight_nn.hs) - 1)
+            )
+            si2_ws = tuple(
+                params['si2'][f'w{n}'].astype(x_dtype)
+                for n in range(len(self.si2.paths))
+            )
+            fused, _ = pallas_conv.make_fused_conv(
+                self.tp, self.weight_nn, self.si2, agg_d=dd
+            )
+            return fused(xg, sh, emb, scale, mlp_ws, si2_ws)
+        w = self.weight_nn.apply(params['weight_nn'], emb) * scale
+        message = self.tp.apply(xg, sh, w)
+        agg = message.reshape(
+            (message.shape[0] // dd, dd) + message.shape[1:]
+        ).sum(axis=1)
+        if self.si2 is None:
+            return agg
+        return self.si2.apply(params['si2'], agg, skip_bias=True)
+
     def apply(self, params, data):
         x = data[self.key_x]
         edge_idx = data[self.key_edge_idx]
@@ -283,56 +322,83 @@ class IrrepsConvolution:
         # (dense reshape-reduction when the dense grid layout is used)
         rev = data.get(KEY.EDGE_REV)
         dd = data.get(KEY.EDGE_DENSE_D)
-        if rev is not None:
-            xg = gather_rev(x, edge_src, rev, edge_dst, dense_d=dd)
-        else:
-            xg = x[edge_src]
         sh = data[self.key_filter]
         emb = data[self.key_weight_input]
         denom = params['denominator'].astype(x.dtype)
-        scale = jnp.ones((xg.shape[0], 1), x.dtype) / denom
+        scale = jnp.ones((edge_src.shape[0], 1), x.dtype) / denom
         if self.key_mask in data:
             scale = scale * data[self.key_mask][..., None]
 
-        use_fused = (
-            self.si2 is not None
-            and pallas_conv.is_enabled()
-            and xg.ndim == 2
-            and xg.shape[0] % (
-                pallas_conv.agg_block_unit(dd) if dd else 256
-            ) == 0
-            and len(self.weight_nn.hs) == 4
-            and not self.si2.biases
-        )
-        if use_fused:
-            mlp_ws = tuple(
-                params['weight_nn'][f'w{i}'].astype(x.dtype)
-                for i in range(len(self.weight_nn.hs) - 1)
+        chunk_rows = data.get(KEY.CONV_CHUNK_ROWS) if dd else None
+        if chunk_rows:
+            # memory-chunked execution (large systems): scan over row
+            # chunks, rematerializing the gathered neighbor features and
+            # the kernel forward in the backward pass -- peak memory per
+            # layer drops from O(E x d1) to O(chunk x d1) (the TPU
+            # analog of the reference's per-batch segmenting; enables
+            # the 100k-atom single-chip regime)
+            rows = edge_src.shape[0]
+            n_chunks, rem = divmod(rows, chunk_rows)
+
+            @jax.checkpoint
+            def piece(x, src_c, sh_c, emb_c, scale_c):
+                return self._rows_to_nodes(
+                    params, x[src_c], sh_c, emb_c, scale_c, dd
+                )
+
+            def body(_, xs):
+                return None, piece(x, *xs)
+
+            full = rows - rem
+            resh = lambda a: a[:full].reshape(
+                (n_chunks, chunk_rows) + a.shape[1:]
             )
-            si2_ws = tuple(
-                params['si2'][f'w{n}'].astype(x.dtype)
-                for n in range(len(self.si2.paths))
+            _, out = jax.lax.scan(
+                body, None,
+                (resh(edge_src), resh(sh), resh(emb), resh(scale)),
             )
-            fused, _ = pallas_conv.make_fused_conv(
-                self.tp, self.weight_nn, self.si2, agg_d=dd or 0
-            )
-            y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
-            if dd:
-                # dense grid + in-kernel aggregation: y is already node
-                # rows; drop the alignment-pad tail
-                out = y[:x.shape[0]]
-            else:
+            out = out.reshape((-1,) + out.shape[2:])
+            if rem:
+                out = jnp.concatenate([
+                    out,
+                    piece(x, edge_src[full:], sh[full:], emb[full:],
+                          scale[full:]),
+                ])
+            out = out[:x.shape[0]]
+        elif dd is not None and rev is not None:
+            xg = gather_rev(x, edge_src, rev, edge_dst, dense_d=dd)
+            out = self._rows_to_nodes(params, xg, sh, emb, scale, dd)
+            out = out[:x.shape[0]]
+        else:
+            xg = gather_rev(x, edge_src, rev, edge_dst) \
+                if rev is not None else x[edge_src]
+            if self._fused_eligible(xg.shape[0], None):
+                mlp_ws = tuple(
+                    params['weight_nn'][f'w{i}'].astype(x.dtype)
+                    for i in range(len(self.weight_nn.hs) - 1)
+                )
+                si2_ws = tuple(
+                    params['si2'][f'w{n}'].astype(x.dtype)
+                    for n in range(len(self.si2.paths))
+                )
+                fused, _ = pallas_conv.make_fused_conv(
+                    self.tp, self.weight_nn, self.si2
+                )
+                y = fused(xg, sh, emb, scale, mlp_ws, si2_ws)
                 out = scatter_sum(y, edge_dst, x.shape[0],
                                   sorted=rev is not None)
-        else:
-            w = self.weight_nn.apply(params['weight_nn'], emb) * scale
-            message = self.tp.apply(xg, sh, w)
-            agg = scatter_sum(message, edge_dst, x.shape[0],
-                              sorted=rev is not None, dense_d=dd)
-            if self.si2 is None:
-                data[self.key_x] = agg
-                return data
-            out = self.si2.apply(params['si2'], agg, skip_bias=True)
+            else:
+                w = self.weight_nn.apply(params['weight_nn'], emb) * scale
+                message = self.tp.apply(xg, sh, w)
+                agg = scatter_sum(message, edge_dst, x.shape[0],
+                                  sorted=rev is not None)
+                if self.si2 is None:
+                    data[self.key_x] = agg
+                    return data
+                out = self.si2.apply(params['si2'], agg, skip_bias=True)
+        if self.si2 is None:
+            data[self.key_x] = out
+            return data
         bias = self.si2.bias_vector(params['si2'], out.dtype)
         if bias is not None:
             out = out + bias

@@ -43,7 +43,8 @@ def _comm_sizes(model):
 
 
 def deploy(checkpoint: str, output_path: str = 'deployed_serial',
-           with_stablehlo: bool = True):
+           with_stablehlo: bool = True, n_node: int = 64,
+           n_edge: int = 1024):
     cp = SevenNetCheckpoint(checkpoint)
     model, params = cp.build_model()
     os.makedirs(output_path, exist_ok=True)
@@ -81,7 +82,8 @@ def deploy(checkpoint: str, output_path: str = 'deployed_serial',
 
     if with_stablehlo:
         try:
-            _export_stablehlo(model, params, output_path)
+            _export_stablehlo(model, params, output_path,
+                              n_node=n_node, n_edge=n_edge)
         except Exception as e:  # noqa: BLE001 - best-effort export
             with open(os.path.join(output_path, 'stablehlo_error.txt'),
                       'w') as f:
@@ -121,6 +123,14 @@ def _export_stablehlo(model, params, output_path, n_node=64, n_edge=1024):
     lowered = jax.jit(efs).lower(params, data)
     with open(os.path.join(output_path, 'model.stablehlo'), 'w') as f:
         f.write(lowered.as_text())
+
+    # round-trippable artifact: jax.export serialization reloads in any
+    # JAX process (the serving analog of TorchScript re-load; the
+    # equivalence test asserts bit-parity with model.apply)
+    from jax import export as jexport
+    exp = jexport.export(jax.jit(efs))(params, data)
+    with open(os.path.join(output_path, 'model.jaxexport'), 'wb') as f:
+        f.write(exp.serialize())
 
     # params-as-constants flavor: flat data args in a fixed order so the
     # C++ side needs no pytree logic

@@ -161,3 +161,52 @@ def test_native_checkpoint_roundtrip(tmp_path):
                 np.testing.assert_array_equal(
                     np.asarray(v), np.asarray(params2[lname][k])
                 )
+
+
+@needs_cp0
+def test_deploy_artifact_equivalence(tmp_path):
+    """The deployed jax.export artifact must reload and reproduce
+    model.apply() exactly on identical padded inputs, at CLI-chosen
+    capacities (the serving analog of the reference's TorchScript
+    reload contract, sevenn/scripts/deploy.py:52-66)."""
+    from jax import export as jexport
+
+    from sevennet_exp_tpu.scripts.deploy import deploy
+
+    dep = str(tmp_path / 'dep')
+    deploy(CP0, dep, n_node=24, n_edge=512)
+    for fn in ('params.pkl', 'config.yaml', 'meta.yaml',
+               'model.stablehlo', 'model_const.stablehlo',
+               'model.jaxexport', 'signature.yaml'):
+        assert os.path.exists(os.path.join(dep, fn)), fn
+
+    with open(os.path.join(dep, 'model.jaxexport'), 'rb') as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+
+    cp = SevenNetCheckpoint(CP0)
+    model, params = cp.build_model()
+    at = _hfo2_cell()
+    g = unlabeled_atoms_to_graph(at, cp.config['cutoff'])
+    b = collate_graphs([g], n_node=24, n_edge=512)
+    keys = (KEY.ATOMIC_NUMBERS, KEY.EDGE_IDX, KEY.EDGE_VEC,
+            KEY.EDGE_MASK, KEY.BATCH, KEY.NUM_ATOMS, KEY.NODE_MASK,
+            KEY.CELL_VOLUME)
+    data = {k: jnp.asarray(b[k]) for k in keys}
+    data[KEY.ATOMIC_NUMBERS] = data[KEY.ATOMIC_NUMBERS].astype(jnp.int32)
+
+    e_a, f_a, s_a = exp.call(params, data)
+    out = model.apply(params, data)
+    # the reloaded artifact recompiles through its own fusion schedule;
+    # parity is to fp32 reassociation noise, far below any physics bug
+    np.testing.assert_allclose(
+        np.asarray(e_a), np.asarray(out[KEY.PRED_TOTAL_ENERGY]),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_a), np.asarray(out[KEY.PRED_FORCE]),
+        rtol=1e-4, atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_a), np.asarray(out[KEY.PRED_STRESS]),
+        rtol=1e-4, atol=5e-7,
+    )

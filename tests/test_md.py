@@ -170,3 +170,28 @@ def test_md_forces_match_calculator(md_setup):
     res = calc.calculate_single(at)
     assert abs(float(e) - res['energy']) < 5e-4
     np.testing.assert_allclose(np.asarray(f), res['forces'], atol=5e-4)
+
+
+def test_conv_chunked_matches_whole(md_setup):
+    """Memory-chunked convolution (scan + remat, CONV_CHUNK_ROWS) must
+    reproduce the whole-array energies and forces exactly."""
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=300.0,
+        ensemble='nvt', rebuild_every=5, seed=0,
+    )
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    md_c = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=300.0,
+        ensemble='nvt', rebuild_every=5, seed=0,
+        conv_chunk_atoms=16,
+    )
+    assert md_c.conv_chunk_rows > 0
+    nl_c = md_c._compact_nl(md_c._build_nl(md_c.state.pos),
+                            md_c.state.pos)
+    e_c, f_c = md_c._ef_fn(md.state.pos, nl_c)
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
+                               atol=2e-5)
