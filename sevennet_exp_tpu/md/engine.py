@@ -58,6 +58,8 @@ class MolecularDynamics:
         use_pallas: Optional[bool] = None,
         d3: Optional[object] = None,
         conv_chunk_atoms: Optional[int] = None,
+        pressure_gpa: float = 0.0,
+        pdamp_fs: Optional[float] = None,
     ):
         """d3: optional ops.d3.D3Dispersion added to the potential — the
         TPU equivalent of the reference's LAMMPS recipe
@@ -155,6 +157,18 @@ class MolecularDynamics:
                               / np.asarray(self.grid)) * 2.5 + 8
         )) if self.use_cell_list else 0
 
+        # NPT (Berendsen barostat over the strain-gradient virial):
+        # target pressure in eV/A^3; the cell lives in MDState and
+        # evolves per step (reference recipe: LAMMPS fix npt /
+        # press/berendsen over the pair-style virial)
+        self.pressure = pressure_gpa / 160.21766
+        self.pdamp = (pdamp_fs or 1000.0 * dt_fs) * FS
+        if ensemble == 'npt' and d3 is not None:
+            raise NotImplementedError(
+                'npt with D3: static replica shifts do not track the '
+                'evolving cell yet'
+            )
+
         key = jax.random.PRNGKey(seed)
         key, vkey = jax.random.split(key)
         vel = integrate.maxwell_boltzmann(
@@ -162,6 +176,8 @@ class MolecularDynamics:
         )
         pos0 = jnp.asarray(atoms.pos, dtype=dtype)
         self.state = MDState(
+            cell=(jnp.asarray(atoms.cell, dtype=dtype)
+                  if ensemble == 'npt' else None),
             pos=pos0, vel=vel,
             forces=jnp.zeros((n, 3), dtype),
             energy=jnp.array(0.0, dtype),
@@ -203,7 +219,11 @@ class MolecularDynamics:
         ])
 
     # -- potential -----------------------------------------------------
-    def _energy_fn(self, pos, nl: NeighborState):
+    def _energy_fn(self, pos, nl: NeighborState, cell=None, strain=None):
+        if cell is None:
+            cell_m, inv_cell = self.cell, self.inv_cell
+        else:
+            cell_m, inv_cell = cell, jnp.linalg.inv(cell)
         edge_idx = nl.edge_idx
         if nl.rev is not None:
             # dense neighbor grid (see _compact_nl): gathers carry
@@ -217,12 +237,16 @@ class MolecularDynamics:
         else:
             data = {}
             pi, pj = pos[edge_idx[0]], pos[edge_idx[1]]
-        vec = mic_displacements(pi, pj, self.cell, self.inv_cell)
+        vec = mic_displacements(pi, pj, cell_m, inv_cell)
         r2 = jnp.sum(vec * vec, axis=-1)
         mask = nl.valid & (r2 < self.cutoff ** 2)
         safe = jnp.where(
             mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], dtype=vec.dtype)
         )
+        if strain is not None:
+            # virial via dE/dstrain at 0 (same convention as
+            # model.py:124-138 and parallel/md.py)
+            safe = safe + safe @ strain
         data |= {
             KEY.ATOMIC_NUMBERS: self.Z,
             KEY.EDGE_IDX: edge_idx,
@@ -232,7 +256,7 @@ class MolecularDynamics:
             KEY.NUM_ATOMS: jnp.array([self.n], dtype=jnp.int32),
             KEY.NODE_MASK: jnp.ones(self.n, dtype=safe.dtype),
             KEY.CELL_VOLUME: jnp.array(
-                [jnp.abs(jnp.linalg.det(self.cell))], dtype=safe.dtype
+                [jnp.abs(jnp.linalg.det(cell_m))], dtype=safe.dtype
             ),
         }
         out = self.model.apply_energy(self.params, data)
@@ -243,8 +267,8 @@ class MolecularDynamics:
             # wrap into the cell: MD positions are unwrapped, and the
             # replica shift range is static (grad of frac%1 is identity
             # away from the measure-zero wrap boundaries)
-            frac = (pos @ self.inv_cell) % 1.0
-            pos_w = frac @ self.cell
+            frac = (pos @ inv_cell) % 1.0
+            pos_w = frac @ cell_m
             e_disp = d['mod'].dispersion_energy(
                 pos_w / d['mod'].AU_TO_ANG, d['lat_b'], d['tidx'],
                 d['tables'], eng.damping, d['shifts_vdw'], d['shifts_cn'],
@@ -257,14 +281,28 @@ class MolecularDynamics:
         e, g = jax.value_and_grad(self._energy_fn)(pos, nl)
         return e, -g
 
-    def _build_nl(self, pos):
+    def _efs_fn(self, pos, nl, cell):
+        """(energy, forces, stress Voigt) on an explicit cell (NPT
+        path); stress = -virial/V in the model convention."""
+        eps0 = jnp.zeros((3, 3), pos.dtype)
+        e, (gp, ge) = jax.value_and_grad(
+            self._energy_fn, argnums=(0, 3)
+        )(pos, nl, cell, eps0)
+        vol = jnp.abs(jnp.linalg.det(cell))
+        stress = -jnp.stack([
+            ge[0, 0], ge[1, 1], ge[2, 2], ge[0, 1], ge[1, 2], ge[2, 0]
+        ]) / vol
+        return e, -gp, stress
+
+    def _build_nl(self, pos, cell=None):
+        cell_m = self.cell if cell is None else cell
         if self.use_cell_list:
             return cell_list_neighbor_list(
-                pos, self.cell, self.build_cutoff, self.e_cap,
+                pos, cell_m, self.build_cutoff, self.e_cap,
                 self.grid, self.cell_cap,
             )
         return dense_neighbor_list(
-            pos, self.cell, self.build_cutoff, self.e_cap
+            pos, cell_m, self.build_cutoff, self.e_cap
         )
 
     @property
@@ -285,12 +323,13 @@ class MolecularDynamics:
         if self.conv_chunk_atoms:
             rows = self.conv_chunk_atoms * self.deg_cap
         elif self.e_cap_model > 524288:
-            rows = 131072
+            rows = 32768
         else:
             return 0
         return max(unit, rows // unit * unit)
 
-    def _compact_nl(self, nl: NeighborState, pos) -> NeighborState:
+    def _compact_nl(self, nl: NeighborState, pos,
+                    cell=None) -> NeighborState:
         """Re-lay the Verlet list out as a dense per-atom neighbor grid.
 
         Row ``i*deg_cap + k`` holds atom i's k-th neighbor inside
@@ -302,9 +341,12 @@ class MolecularDynamics:
         the reverse-edge permutation stays an involution.
         """
         D = self.deg_cap
+        if cell is None:
+            cell_m, inv_cell = self.cell, self.inv_cell
+        else:
+            cell_m, inv_cell = cell, jnp.linalg.inv(cell)
         vec = mic_displacements(
-            pos[nl.edge_idx[0]], pos[nl.edge_idx[1]],
-            self.cell, self.inv_cell,
+            pos[nl.edge_idx[0]], pos[nl.edge_idx[1]], cell_m, inv_cell,
         )
         r2 = jnp.sum(vec * vec, axis=-1)
         keep = nl.valid & (r2 < (self.cutoff + self.md_buffer) ** 2)
@@ -347,6 +389,11 @@ class MolecularDynamics:
                 self._ef_fn, self.masses, self.dt, self.temperature_K,
                 self.tdamp,
             )
+        if self.ensemble == 'npt':
+            return integrate.make_npt_berendsen_step(
+                self._efs_fn, self.masses, self.dt, self.temperature_K,
+                self.tdamp, self.pressure, self.pdamp,
+            )
         raise ValueError(self.ensemble)
 
     # -- run loop ------------------------------------------------------
@@ -357,7 +404,7 @@ class MolecularDynamics:
         the jit cache to hit (static n_outer/k still key it)."""
         key = (self.ensemble, self.e_cap, self.deg_cap,
                self.rebuild_every, self.use_cell_list, self.cell_cap,
-               self.conv_chunk_rows)
+               self.conv_chunk_rows, tuple(self.grid))
         cached = getattr(self, '_chunk_key', None)
         if cached != key:
             self._chunk = self._compiled_chunk()
@@ -369,10 +416,16 @@ class MolecularDynamics:
 
         @partial(jax.jit, static_argnames=('n_outer', 'k'))
         def chunk(state: MDState, n_outer: int, k: int):
+            npt = self.ensemble == 'npt'
+
             def outer(state, _):
-                nl = self._build_nl(state.pos)
-                nl = self._compact_nl(nl, state.pos)
-                e, f = self._ef_fn(state.pos, nl)
+                cell = state.cell if npt else None
+                nl = self._build_nl(state.pos, cell)
+                nl = self._compact_nl(nl, state.pos, cell)
+                if npt:
+                    e, f, _ = self._efs_fn(state.pos, nl, state.cell)
+                else:
+                    e, f = self._ef_fn(state.pos, nl)
                 state = state._replace(forces=f, energy=e)
 
                 def inner(s, _):
@@ -380,7 +433,9 @@ class MolecularDynamics:
 
                 state, _ = jax.lax.scan(inner, state, None, length=k)
                 disp = mic_displacements(
-                    nl.ref_pos, state.pos, self.cell, self.inv_cell
+                    nl.ref_pos, state.pos,
+                    state.cell if npt else self.cell,
+                    jnp.linalg.inv(state.cell) if npt else self.inv_cell,
                 )
                 max_disp2 = jnp.max(jnp.sum(disp * disp, axis=-1))
                 metrics = {
@@ -389,6 +444,10 @@ class MolecularDynamics:
                     'overflow': nl.overflow,
                     'max_disp2': max_disp2,
                 }
+                if npt:
+                    metrics['volume'] = jnp.abs(
+                        jnp.linalg.det(state.cell)
+                    )
                 return state, metrics
 
             return jax.lax.scan(outer, state, None, length=n_outer)
@@ -445,6 +504,18 @@ class MolecularDynamics:
             self.rebuild_every = min(k_new, max(1, self.rebuild_every - 1))
             return None
         self.state = state
+        if self.ensemble == 'npt' and self.use_cell_list:
+            # the bin grid is compile-time static; if the barostat
+            # shrank the cell enough that a bin is thinner than the
+            # build cutoff, re-grid (next dispatch re-jits via the
+            # chunk cache key)
+            cell_now = np.asarray(state.cell)
+            widths = self._cell_widths(cell_now) / np.asarray(self.grid)
+            if np.any(widths < self.build_cutoff):
+                self.grid = choose_grid(cell_now, self.build_cutoff)
+                self.use_cell_list = all(
+                    g >= 3 for g in self.grid
+                ) and self.n > 512
         if log:
             for i in range(n_outer):
                 log(i, {kk: v[i] for kk, v in metrics.items()})

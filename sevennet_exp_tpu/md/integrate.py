@@ -24,6 +24,8 @@ class MDState(NamedTuple):
     energy: jnp.ndarray     # () eV
     key: jnp.ndarray        # PRNG key
     xi: jnp.ndarray         # () thermostat friction (nose-hoover)
+    cell: jnp.ndarray = None  # (3, 3) evolving cell (NPT only; None =
+    #                           the engine's static cell)
 
 
 def kinetic_energy(state: MDState, masses) -> jnp.ndarray:
@@ -115,5 +117,59 @@ def make_nose_hoover_step(ef_fn: Callable, masses, dt: float, temp_K: float,
         vel, xi = thermo_half(vel, xi)
         return state._replace(pos=pos, vel=vel, forces=forces,
                               energy=energy, xi=xi)
+
+    return step
+
+
+def make_npt_berendsen_step(efs_fn: Callable, masses, dt: float,
+                            temp_K: float, tdamp: float,
+                            press_target: float, pdamp: float,
+                            compressibility: float = 4.57e-5):
+    """Isotropic NPT: Nose-Hoover thermostat + Berendsen barostat
+    (LAMMPS ``fix nvt`` + ``fix press/berendsen`` recipe; the reference
+    gets NPT from LAMMPS fixes over the pair-style virial,
+    pair_e3gnn.cpp + in.lammps examples).
+
+    efs_fn(pos, nl, cell) -> (energy, forces, stress_voigt) with stress
+    in the model convention (-virial/V, eV/A^3; model.py:124-138).
+    press_target in eV/A^3; compressibility (dimensionless here, scaled
+    into mu) -- only the ratio dt * compressibility / pdamp sets the
+    relaxation rate. Internal pressure: P = 2*KE/(3V) + trace(stress)/3
+    (the model stress convention already carries -virial/V, so its
+    trace/3 IS the potential pressure); direction validated by the
+    compression unit test.
+    """
+    inv_m = (1.0 / masses)[:, None]
+    n_dof = 3 * masses.shape[0]
+    Q = n_dof * kB * temp_K * tdamp ** 2
+
+    def thermo_half(vel, xi):
+        ke2 = jnp.sum(masses[:, None] * vel ** 2)
+        xi_dot = (ke2 - n_dof * kB * temp_K) / Q
+        xi = xi + 0.5 * dt * xi_dot
+        vel = vel * jnp.exp(-0.5 * dt * xi)
+        return vel, xi
+
+    def step(state: MDState, nl) -> MDState:
+        vel, xi = thermo_half(state.vel, state.xi)
+        v_half = vel + 0.5 * dt * state.forces * inv_m
+        pos = state.pos + dt * v_half
+        energy, forces, stress = efs_fn(pos, nl, state.cell)
+        vel = v_half + 0.5 * dt * forces * inv_m
+        vel, xi = thermo_half(vel, xi)
+        # instantaneous pressure: kinetic + virial. stress (model
+        # convention) = -(sum_e r x dE/dr)/V, so its trace/3 is already
+        # the potential (virial) pressure contribution
+        vol = jnp.abs(jnp.linalg.det(state.cell))
+        ke2 = jnp.sum(masses[:, None] * vel ** 2)
+        p_int = ke2 / (3.0 * vol) + (
+            stress[0] + stress[1] + stress[2]
+        ) / 3.0
+        mu = (1.0 - dt / pdamp * compressibility
+              * (press_target - p_int)) ** (1.0 / 3.0)
+        return state._replace(
+            pos=pos * mu, vel=vel, forces=forces, energy=energy, xi=xi,
+            cell=state.cell * mu,
+        )
 
     return step

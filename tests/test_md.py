@@ -195,3 +195,27 @@ def test_conv_chunked_matches_whole(md_setup):
     np.testing.assert_allclose(float(e_c), float(e_ref), rtol=2e-6)
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
                                atol=2e-5)
+
+
+def test_npt_berendsen(md_setup):
+    """NPT (Nose-Hoover thermostat + Berendsen barostat over the
+    strain-gradient virial): runs stably, reports volume, and the
+    barostat moves the box in the correct direction -- a large positive
+    target pressure must compress the cell."""
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=50.0,
+        ensemble='npt', rebuild_every=5, seed=0,
+        pressure_gpa=5.0, pdamp_fs=200.0,
+    )
+    v0 = float(abs(np.linalg.det(np.asarray(at.cell))))
+    out = md.run(20)
+    assert np.isfinite(out['energy']).all()
+    assert np.isfinite(out['volume']).all()
+    v_end = out['volume'][-1]
+    assert v_end < v0, (v_end, v0)  # 5 GPa target squeezes the box
+    # cell and positions scaled together (fractional coords preserved
+    # up to dynamics): cell stays finite and nonsingular
+    cell_end = np.asarray(md.state.cell)
+    assert np.isfinite(cell_end).all()
+    assert abs(np.linalg.det(cell_end)) > 0.5 * v0
