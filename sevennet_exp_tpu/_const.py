@@ -112,6 +112,97 @@ DEFAULT_TRAINING_CONFIG: Dict[str, Any] = {
 }
 
 
+# Per-key validation conditions (reference sevenn/parse_input.py:14-52
+# contract): a type means isinstance-or-cast, a callable must return
+# truthy, a dict recurses into the sub-section. Keys without an entry
+# accept any value.
+MODEL_CONFIG_CONDITION: Dict[str, Any] = {
+    KEY.CUTOFF: float,
+    KEY.NODE_FEATURE_MULTIPLICITY: int,
+    KEY.LMAX: int,
+    KEY.LMAX_EDGE: int,
+    KEY.LMAX_NODE: int,
+    KEY.IS_PARITY: bool,
+    KEY.NUM_CONVOLUTION: int,
+    KEY.RADIAL_BASIS: {
+        KEY.RADIAL_BASIS_NAME: lambda x: x in IMPLEMENTED_RADIAL_BASIS,
+    },
+    KEY.CUTOFF_FUNCTION: {
+        KEY.CUTOFF_FUNCTION_NAME:
+            lambda x: x in IMPLEMENTED_CUTOFF_FUNCTION,
+    },
+    KEY.ACTIVATION_RADIAL: str,
+    KEY.CONVOLUTION_WEIGHT_NN_HIDDEN_NEURONS: list,
+    KEY.CONV_DENOMINATOR: lambda x: isinstance(x, (float, int))
+    or x in ('avg_num_neigh', 'sqrt_avg_num_neigh'),
+    KEY.TRAIN_DENOMINTAOR: bool,
+    KEY.TRAIN_SHIFT_SCALE: bool,
+    KEY.USE_BIAS_IN_LINEAR: bool,
+    KEY.USE_MODAL_NODE_EMBEDDING: bool,
+    KEY.USE_MODAL_SELF_INTER_INTRO: bool,
+    KEY.USE_MODAL_SELF_INTER_OUTRO: bool,
+    KEY.USE_MODAL_OUTPUT_BLOCK: bool,
+    KEY.READOUT_AS_FCN: bool,
+    KEY.READOUT_FCN_HIDDEN_NEURONS: list,
+    KEY.READOUT_FCN_ACTIVATION: str,
+    KEY.SELF_CONNECTION_TYPE:
+        lambda x: x in IMPLEMENTED_SELF_CONNECTION_TYPE,
+    KEY.INTERACTION_TYPE: lambda x: x in IMPLEMENTED_INTERACTION_TYPE,
+    KEY._NORMALIZE_SPH: bool,
+}
+
+DATA_CONFIG_CONDITION: Dict[str, Any] = {
+    KEY.DTYPE: str,
+    KEY.DATA_FORMAT: str,
+    KEY.DATA_FORMAT_ARGS: dict,
+    KEY.SAVE_BY_LABEL: bool,
+    KEY.SAVE_BY_TRAIN_VALID: bool,
+    KEY.RATIO: float,
+    KEY.BATCH_SIZE: int,
+    KEY.PREPROCESS_NUM_CORES: int,
+    KEY.COMPUTE_STATISTICS: bool,
+    KEY.DATASET_TYPE: lambda x: x in ('graph', 'atoms'),
+    KEY.USE_MODAL_WISE_SHIFT: bool,
+    KEY.USE_MODAL_WISE_SCALE: bool,
+    KEY.SHIFT: lambda x: isinstance(x, (float, int, list, dict))
+    or x in IMPLEMENTED_SHIFT,
+    KEY.SCALE: lambda x: isinstance(x, (float, int, list, dict))
+    or x in IMPLEMENTED_SCALE,
+}
+
+TRAIN_CONFIG_CONDITION: Dict[str, Any] = {
+    KEY.RANDOM_SEED: int,
+    KEY.EPOCH: int,
+    KEY.LOSS: str,
+    KEY.LOSS_PARAM: dict,
+    KEY.OPTIMIZER: str,
+    KEY.OPTIM_PARAM: dict,
+    KEY.SCHEDULER: str,
+    KEY.SCHEDULER_PARAM: dict,
+    KEY.FORCE_WEIGHT: float,
+    KEY.STRESS_WEIGHT: float,
+    KEY.PER_EPOCH: int,
+    KEY.CONTINUE: {
+        KEY.RESET_OPTIMIZER: bool,
+        KEY.RESET_SCHEDULER: bool,
+        KEY.RESET_EPOCH: bool,
+        KEY.USE_STATISTIC_VALUES_OF_CHECKPOINT: bool,
+    },
+    KEY.CSV_LOG: str,
+    KEY.NUM_WORKERS: int,
+    KEY.IS_TRAIN_STRESS: bool,
+    KEY.TRAIN_SHUFFLE: bool,
+    KEY.BEST_METRIC: str,
+    KEY.USE_WEIGHT: bool,
+    KEY.USE_MODALITY: bool,
+    KEY.ERROR_RECORD: lambda lst: isinstance(lst, list) and all(
+        isinstance(p, (list, tuple)) and len(p) == 2
+        and (p[1] in SUPPORTING_METRICS or p[1] == 'None')
+        for p in lst
+    ),
+}
+
+
 def model_defaults(config):
     defaults = dict(DEFAULT_E3_EQUIVARIANT_MODEL_CONFIG)
     if not config.get(KEY.READOUT_AS_FCN, defaults[KEY.READOUT_AS_FCN]):

@@ -175,3 +175,34 @@ def test_native_neighbor_matches_python():
     k2 = set(zip(i2.tolist(), j2.tolist(),
                  map(tuple, s2.astype(int).tolist())))
     assert k1 == k2
+
+
+def test_parse_input_validation():
+    """Per-key type-cast / condition validation (reference
+    parse_input.py:14-52): malformed values fail at parse time with a
+    pointed message; unknown keys warn."""
+    import warnings
+
+    import pytest as _pytest
+
+    from sevennet_exp_tpu.parse_input import (
+        init_data_config, init_model_config, init_train_config,
+    )
+
+    c = init_model_config({'chemical_species': ['Na', 'Cl'],
+                           'cutoff': 5, 'lmax': 2})
+    assert isinstance(c['cutoff'], float)  # int -> float cast
+    with _pytest.raises(ValueError, match='cutoff'):
+        init_model_config({'chemical_species': 'auto', 'cutoff': 'abc'})
+    with _pytest.raises(ValueError, match='self_connection_type'):
+        init_model_config({'chemical_species': 'auto',
+                           'self_connection_type': 'bogus'})
+    with _pytest.raises(ValueError, match='shift'):
+        init_data_config({'shift': 'bogus_keyword'})
+    with _pytest.raises(ValueError, match='radial_basis'):
+        init_model_config({'chemical_species': 'auto',
+                           'radial_basis': {'radial_basis_name': 'gauss'}})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        init_train_config({'not_a_key': 1})
+    assert any('not_a_key' in str(x.message) for x in w)
