@@ -464,14 +464,27 @@ class MolecularDynamics:
         """Advance n_steps; returns per-rebuild-chunk metric arrays.
         Dispatches are capped at max_outer_per_dispatch chunks; a tail
         shorter than the cap compiles its own (n_outer, k) signature
-        once per process (cached thereafter)."""
+        once per process (cached thereafter).
+
+        Observability: set SEVENNET_PROFILE_DIR to capture ONE
+        jax.profiler device trace of the first dispatch (the analog of
+        the reference's SEVENN_PRINT_INFO debug hooks; view with
+        tensorboard or tools/trace_md.py's parser)."""
+        import os
         outs: List[Dict[str, np.ndarray]] = []
         steps_done = 0
+        profile_dir = os.environ.get('SEVENNET_PROFILE_DIR')
         while steps_done < n_steps:
             k = self.rebuild_every
             want = max(1, -(-(n_steps - steps_done) // k))  # ceil
             n_outer = min(self.max_outer_per_dispatch, want)
-            m = self._run_dispatch(n_outer, log)
+            if profile_dir and not getattr(self, '_profiled', False):
+                self._profiled = True
+                with jax.profiler.trace(profile_dir):
+                    m = self._run_dispatch(n_outer, log)
+                    jax.block_until_ready(self.state.pos)
+            else:
+                m = self._run_dispatch(n_outer, log)
             if m is None:
                 continue  # capacities/cadence changed; recompute sizes
             outs.append(m)

@@ -348,10 +348,36 @@ class ParallelMolecularDynamics:
             chunks[key] = self._compiled_chunk(length)
         return chunks[key]
 
+    def _print_comm_stats(self):
+        """SEVENNET_PRINT_COMM debug dump (the analog of the reference's
+        SEVENN_PRINT_INFO comm diagnostics, pair_e3gnn_parallel.cpp:
+        87-93, 441-455): per-device ownership/ghost/edge occupancy and
+        the per-layer halo payload each ppermute refresh moves."""
+        from ..model import layers as L
+        spec = self.spec
+        sends = np.asarray(self.send_mask).sum(axis=2)  # (n_dev, 2)
+        widths = [int(layer.tp.irreps_in1.dim)
+                  for _, layer in self.model.layers
+                  if isinstance(layer, L.IrrepsConvolution)]
+        print(f'[comm] n_dev={self.n_dev} cap_loc={spec.cap_loc} '
+              f'cap_ghost={spec.cap_ghost} cap_edge={spec.cap_edge}')
+        print(f'[comm] n_loc={list(map(int, spec.n_loc))} '
+              f'sends(lo,hi)={sends.astype(int).tolist()}')
+        payload = [2 * spec.cap_ghost * w * 4 for w in widths]
+        print(f'[comm] halo payload/refresh per device: '
+              f'{[f"{p / 1e6:.2f}MB" for p in payload]} '
+              f'(layer widths {widths}; {1 + len(widths)} refreshes '
+              f'per force call incl. positions)')
+
     def run(self, n_steps: int) -> Dict[str, np.ndarray]:
         """Advance exactly n_steps (full rebuild_every-sized chunks plus
         one remainder chunk); returns per-chunk energy / temperature /
-        stress (Voigt, eV/A^3)."""
+        stress (Voigt, eV/A^3). Set SEVENNET_PRINT_COMM=1 for per-
+        rebuild comm/occupancy diagnostics."""
+        import os
+        print_comm = bool(os.environ.get('SEVENNET_PRINT_COMM'))
+        if print_comm:
+            self._print_comm_stats()
         if not hasattr(self, '_keys'):
             base = jax.random.PRNGKey(self.seed + 1)
             self._keys = jax.random.split(base, self.n_dev)
@@ -377,6 +403,8 @@ class ParallelMolecularDynamics:
             self.time_steps += length
             if done < n_steps:
                 self._rebuild()
+                if print_comm:
+                    self._print_comm_stats()
         return {
             'energy': np.array(energies),
             'temperature': np.array(temps),
