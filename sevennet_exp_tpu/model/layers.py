@@ -342,20 +342,30 @@ class IrrepsConvolution:
 
             @jax.checkpoint
             def piece(x, src_c, sh_c, emb_c, scale_c):
+                # barrier: without it XLA fuses the scan dynamic-slices
+                # into the pallas custom call, staging whole chunk
+                # tensors in scoped VMEM (observed 32 MB > 16 MB cap at
+                # 100k atoms); the barrier pins them to HBM buffers
+                xg, sh_c, emb_c, scale_c = jax.lax.optimization_barrier(
+                    (x[src_c], sh_c, emb_c, scale_c)
+                )
                 return self._rows_to_nodes(
-                    params, x[src_c], sh_c, emb_c, scale_c, dd
+                    params, xg, sh_c, emb_c, scale_c, dd
                 )
 
-            def body(_, xs):
-                return None, piece(x, *xs)
+            def body(_, i):
+                # dynamic_slice, NOT stacked scan-xs: narrow (E, 9/8/1)
+                # edge arrays lane-pad 14-16x on TPU, so a stacked
+                # (n_chunks, chunk, W) copy costs GBs at 100k atoms
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, i * chunk_rows, chunk_rows
+                )
+                return None, piece(x, sl(edge_src), sl(sh), sl(emb),
+                                   sl(scale))
 
             full = rows - rem
-            resh = lambda a: a[:full].reshape(
-                (n_chunks, chunk_rows) + a.shape[1:]
-            )
             _, out = jax.lax.scan(
-                body, None,
-                (resh(edge_src), resh(sh), resh(emb), resh(scale)),
+                body, None, jnp.arange(n_chunks, dtype=jnp.int32),
             )
             out = out.reshape((-1,) + out.shape[2:])
             if rem:

@@ -120,7 +120,10 @@ def _export_stablehlo(model, params, output_path, n_node=64, n_edge=1024):
         return (out[KEY.PRED_TOTAL_ENERGY], out[KEY.PRED_FORCE],
                 out[KEY.PRED_STRESS])
 
-    lowered = jax.jit(efs).lower(params, data)
+    # keep_unused: the artifact signature must match signature.yaml
+    # exactly even if XLA could prune an input (the C++ host feeds every
+    # recorded array, runtime/pjrt_cpu_host.cpp)
+    lowered = jax.jit(efs, keep_unused=True).lower(params, data)
     with open(os.path.join(output_path, 'model.stablehlo'), 'w') as f:
         f.write(lowered.as_text())
 
@@ -140,7 +143,7 @@ def _export_stablehlo(model, params, output_path, n_node=64, n_edge=1024):
         return efs(params, dict(zip(names, flat)))
 
     flat_args = [data[k] for k in names]
-    lowered_c = jax.jit(efs_const).lower(*flat_args)
+    lowered_c = jax.jit(efs_const, keep_unused=True).lower(*flat_args)
     with open(os.path.join(output_path, 'model_const.stablehlo'), 'w') as f:
         f.write(lowered_c.as_text())
 
