@@ -289,7 +289,20 @@ class SevenNetCheckpoint:
     def build_model(self) -> Tuple[SevenNetModel, Dict]:
         """Returns (model, params) reproducing the stored network."""
         self._load()
-        model = build_e3_equivariant_model(self.config)
+        cfg = self.config
+        # stored configs may still carry dataset-statistic KEYWORDS
+        # ('per_atom_energy_std', 'avg_num_neigh', ...); the stored
+        # parameters hold the resolved arrays, so the build only needs
+        # numeric placeholders (reference resolves from the state dict,
+        # processing_continue.py:43-52)
+        placeholders = {KEY.SHIFT: 0.0, KEY.SCALE: 1.0,
+                        KEY.CONV_DENOMINATOR: 1.0}
+        if any(isinstance(cfg.get(k), str) for k in placeholders):
+            cfg = dict(cfg)
+            for k, v in placeholders.items():
+                if isinstance(cfg.get(k), str):
+                    cfg[k] = v
+        model = build_e3_equivariant_model(cfg)
         if self._is_torch:
             params = convert_torch_state_dict(
                 model, self._torch_sd, self._config

@@ -111,3 +111,25 @@ class Logger(metaclass=Singleton):
         dt = time.time() - self._timers.pop(name, time.time())
         self.writeline(f'{message or name}: elapsed {dt:.2f} s')
         return dt
+
+    # -- model info ----------------------------------------------------
+    def print_model_info(self, model, params=None, mask=None):
+        """Per-layer irreps + parameter count (reference
+        sevenn_logger.py:320-338)."""
+        from .model import layers as L
+
+        self.writeline('Irreps of features')
+        for name, layer in model.layers:
+            irreps = None
+            for attr in ('irreps_out', 'irreps'):
+                irreps = getattr(layer, attr, None)
+                if irreps is not None:
+                    break
+            if irreps is None and isinstance(layer, L.IrrepsConvolution):
+                irreps = layer.tp.irreps_in1
+            if irreps is not None:
+                self.format_k_v(name, str(irreps), write=True)
+        if params is not None:
+            n = model.num_params(params, mask)
+            self.writeline(f'# learnable parameters: {n}')
+        self.writeline()

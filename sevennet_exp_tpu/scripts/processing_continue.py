@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import numpy as _np
+
 from .. import _keys as KEY
 from ..checkpoint import SevenNetCheckpoint
 from ..logger import Logger
@@ -26,12 +28,35 @@ def processing_continue_v2(config: Dict[str, Any]) -> Tuple[Any, Dict]:
     cp_config = cp.config
     model, params = cp.build_model()
 
-    # statistics & species are inherited from the checkpoint
+    # statistics are inherited from the RESOLVED model parameters, not
+    # the stored config: the config may still carry keyword strings
+    # ('per_atom_energy_std', ...) that a rebuild-from-config path
+    # cannot consume (reference resolves from the state dict,
+    # processing_continue.py:43-52)
     if continue_cfg.get(KEY.USE_STATISTIC_VALUES_OF_CHECKPOINT, True):
-        for k in (KEY.SHIFT, KEY.SCALE, KEY.CONV_DENOMINATOR):
-            if k in cp_config:
-                config[k] = cp_config[k]
-                log.writeline(f'{k} inherited from checkpoint')
+        rescale = params.get('rescale_atomic_energy', {})
+        for cfg_key, p_key in ((KEY.SHIFT, 'shift'),
+                               (KEY.SCALE, 'scale')):
+            if p_key in rescale:
+                v = _np.asarray(rescale[p_key]).reshape(-1)
+                config[cfg_key] = (
+                    float(v[0]) if v.size == 1 else v.tolist()
+                )
+                log.writeline(
+                    f'{cfg_key} inherited from checkpoint parameters'
+                )
+        if KEY.CONV_DENOMINATOR in cp_config:
+            denoms = [
+                float(_np.asarray(p['denominator']).reshape(-1)[0])
+                for name, p in params.items()
+                if name.endswith('_convolution') and 'denominator' in p
+            ]
+            config[KEY.CONV_DENOMINATOR] = (
+                denoms if denoms else cp_config[KEY.CONV_DENOMINATOR]
+            )
+            log.writeline(
+                'conv_denominator inherited from checkpoint parameters'
+            )
     for k in (KEY.CHEMICAL_SPECIES, KEY.NUM_SPECIES, KEY.TYPE_MAP,
               KEY.CHEMICAL_SPECIES_BY_ATOMIC_NUMBER):
         if k in cp_config:

@@ -66,8 +66,7 @@ def train_v2(config: Dict[str, Any], working_dir: str = '.'):
             jax.random.PRNGKey(config.get(KEY.RANDOM_SEED, 1))
         )
 
-    n_params = model.num_params(params, mask)
-    log.format_k_v('# trainable parameters', n_params, write=True)
+    log.print_model_info(model, params, mask)
 
     mesh = None
     if config.get(KEY.IS_DDP, False):

@@ -210,3 +210,41 @@ def test_deploy_artifact_equivalence(tmp_path):
         np.asarray(s_a), np.asarray(out[KEY.PRED_STRESS]),
         rtol=1e-4, atol=5e-7,
     )
+
+
+def test_processing_continue_resolves_statistics(tmp_path):
+    """Continue must inherit NUMERIC shift/scale/conv_denominator from
+    the checkpoint's resolved parameters, not whatever keyword strings
+    the stored config still carries (reference resolves from the state
+    dict, processing_continue.py:43-52)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from samples import tiny_model_config
+
+    import jax
+
+    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+    from sevennet_exp_tpu.scripts.processing_continue import (
+        processing_continue_v2,
+    )
+
+    config = tiny_model_config({'shift': -1.25, 'scale': 0.75})
+    model = build_e3_equivariant_model(config)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    cp_path = str(tmp_path / 'cp.npz')
+    # the stored config deliberately carries KEYWORD statistics
+    stored = dict(config)
+    stored[KEY.SHIFT] = 'per_atom_energy_mean'
+    stored[KEY.SCALE] = 'per_atom_energy_std'
+    save_checkpoint(cp_path, stored, params, epoch=4)
+
+    user_cfg = dict(stored)
+    user_cfg[KEY.CONTINUE] = {KEY.CHECKPOINT: cp_path}
+    model2, state = processing_continue_v2(user_cfg)
+    assert isinstance(user_cfg[KEY.SHIFT], float)
+    assert isinstance(user_cfg[KEY.SCALE], float)
+    np.testing.assert_allclose(user_cfg[KEY.SHIFT], -1.25, rtol=1e-6)
+    np.testing.assert_allclose(user_cfg[KEY.SCALE], 0.75, rtol=1e-6)
+    assert state['start_epoch'] == 5
+    # a rebuild from the inherited config must now succeed
+    build_e3_equivariant_model(user_cfg)
