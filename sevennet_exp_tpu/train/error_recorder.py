@@ -40,12 +40,18 @@ _ERROR_TYPES = {
 
 @dataclass
 class MetricSpec:
-    err_type: str        # key of _ERROR_TYPES
+    err_type: str        # key of _ERROR_TYPES (ignored for combined)
     metric: str          # 'RMSE' | 'MAE' | 'ComponentRMSE' | 'Loss' | 'None'
     name: str            # display name, e.g. Energy_RMSE
+    # weighted sum of OTHER metrics by display name (the reference's
+    # CombinedError, error_recorder.py:261-288); such a metric carries
+    # no batch statistics of its own
+    combine: Optional[Tuple[Tuple[str, float], ...]] = None
 
     @property
     def unit(self) -> Optional[str]:
+        if self.combine is not None:
+            return None
         return _ERROR_TYPES[self.err_type]['unit']
 
     def key_str(self) -> str:
@@ -87,6 +93,8 @@ def batch_metric_stats(
     """In-jit per-batch (sum, count) per metric."""
     out = {}
     for m in metrics:
+        if m.combine is not None:
+            continue  # combined metrics are derived at read time
         if m.err_type == 'TotalLoss':
             val = total_loss_val if total_loss_val is not None else jnp.nan
             out[m.name] = (jnp.asarray(val, jnp.float32),
@@ -134,6 +142,8 @@ class ErrorRecorder:
 
     def get(self, name: str) -> float:
         m = next(mm for mm in self.metrics if mm.name == name)
+        if m.combine is not None:
+            return sum(w * self.get(member) for member, w in m.combine)
         c = self._count[name]
         if c == 0:
             return float('nan')

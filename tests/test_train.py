@@ -146,3 +146,39 @@ def test_dp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5
         )
+
+
+def test_combined_metric():
+    """CombinedError analog (reference error_recorder.py:261-288): a
+    weighted sum of other metrics, derived at read time with no batch
+    statistics of its own."""
+    import jax.numpy as jnp
+
+    from sevennet_exp_tpu.train.error_recorder import (
+        MetricSpec, batch_metric_stats,
+    )
+
+    specs = [
+        MetricSpec('Energy', 'RMSE', 'Energy_RMSE'),
+        MetricSpec('Force', 'RMSE', 'Force_RMSE'),
+        MetricSpec('', 'None', 'Weighted',
+                   combine=(('Energy_RMSE', 1.0), ('Force_RMSE', 0.1))),
+    ]
+    rec = ErrorRecorder(specs)
+    import sevennet_exp_tpu._keys as KEY
+    data = {
+        KEY.PRED_TOTAL_ENERGY: jnp.array([1.0]),
+        KEY.ENERGY: jnp.array([0.0]),
+        KEY.NUM_ATOMS: jnp.array([2]),
+        KEY.GRAPH_MASK: jnp.array([1.0]),
+        KEY.PRED_FORCE: jnp.array([[2.0, 0.0, 0.0], [0.0, 0.0, 0.0]]),
+        KEY.FORCE: jnp.zeros((2, 3)),
+        KEY.NODE_MASK: jnp.array([1.0, 1.0]),
+    }
+    stats = batch_metric_stats(specs, data)
+    assert 'Weighted' not in stats  # no stats of its own
+    rec.update(stats)
+    e = rec.get('Energy_RMSE')
+    f = rec.get('Force_RMSE')
+    np.testing.assert_allclose(rec.get('Weighted'), e + 0.1 * f,
+                               rtol=1e-12)
