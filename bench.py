@@ -19,6 +19,16 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: the 100k-atom programs take minutes to
+    # compile; cache hits make repeat runs (and the driver bench) cheap
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/jax_comp_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except Exception:
+        pass
+
     from sevennet_exp_tpu.data.graph import Atoms
     from sevennet_exp_tpu.md.engine import MolecularDynamics
     from sevennet_exp_tpu.model.build import build_e3_equivariant_model

@@ -65,6 +65,15 @@ EDGE_DENSE_D = 'edge_dense_d'           # python int (in-trace static):
 CONV_CHUNK_ROWS = 'conv_chunk_rows'     # python int (in-trace static):
 #   memory-chunked convolution — scan over row chunks with remat so
 #   O(E x d1) gathered features never materialize (100k-atom regime)
+EDGE_PACK_G = 'edge_pack_g'             # python int (in-trace static):
+#   group size of the packed edge-feature layout (ops/scatter.py
+#   pack_cols) — narrow (E, W) arrays lane-pad W -> 128 on TPU, so at
+#   scale the edge pipeline flows as 1-D columns + one packed array
+EDGE_VEC_COLS = 'edge_vec_cols'         # (vx, vy, vz) 1-D (E,) tuple —
+#   replaces EDGE_VEC in the packed large-system path
+EDGE_FEAT_PACKED = 'edge_feat_packed'   # (E/G, (n_basis+n_sh)*G):
+#   pack_cols([emb cols..., sh cols...], G); consumed chunk-wise by
+#   IrrepsConvolution (unpack_cols)
 GRAPH_MASK = 'graph_mask'               # (G,)
 
 # -- train / data configuration keys ---------------------------------------

@@ -225,13 +225,69 @@ class MolecularDynamics:
         else:
             cell_m, inv_cell = cell, jnp.linalg.inv(cell)
         edge_idx = nl.edge_idx
+        if nl.rev is not None and self.conv_chunk_rows:
+            # packed large-system path: the edge geometry flows as 1-D
+            # columns (an (E, 3) array lane-pads 3 -> 128 on TPU --
+            # 1.6 GB resident + remat copies at 100k atoms); downstream,
+            # EdgeEmbedding packs features and the convolutions consume
+            # them chunk-wise (layers.py EDGE_FEAT_PACKED)
+            from ..ops.pallas_conv import agg_block_unit
+            from ..ops.scatter import gather_col
+            # pack group: largest power-of-2 divisor of the kernel
+            # block unit (divides every chunk, the remainder, and E)
+            unit = agg_block_unit(self.deg_cap)
+            data = {
+                KEY.EDGE_REV: nl.rev,
+                KEY.EDGE_DENSE_D: self.deg_cap,
+                KEY.CONV_CHUNK_ROWS: self.conv_chunk_rows,
+                KEY.EDGE_PACK_G: min(64, unit & (-unit)),
+            }
+            d_c = []
+            for c in range(3):
+                pi_c, pj_c = gather_col(
+                    pos[:, c], edge_idx[1], nl.rev, edge_idx[0],
+                    dense_d=self.deg_cap,
+                )
+                d_c.append(pj_c - pi_c)
+            f_c = [sum(d_c[b] * inv_cell[b, a] for b in range(3))
+                   for a in range(3)]
+            f_c = [f - jnp.round(f) for f in f_c]
+            v_c = [sum(f_c[b] * cell_m[b, a] for b in range(3))
+                   for a in range(3)]
+            r2 = v_c[0] * v_c[0] + v_c[1] * v_c[1] + v_c[2] * v_c[2]
+            mask = nl.valid & (r2 < self.cutoff ** 2)
+            defaults = (1.0, 0.0, 0.0)
+            s_c = [jnp.where(mask, v, d)
+                   for v, d in zip(v_c, defaults)]
+            if strain is not None:
+                s_c = [
+                    s_c[a] + sum(s_c[b] * strain[b, a] for b in range(3))
+                    for a in range(3)
+                ]
+            data |= {
+                KEY.ATOMIC_NUMBERS: self.Z,
+                KEY.EDGE_IDX: edge_idx,
+                KEY.EDGE_VEC_COLS: tuple(s_c),
+                KEY.EDGE_MASK: mask.astype(pos.dtype),
+                KEY.BATCH: jnp.zeros(self.n, dtype=jnp.int32),
+                KEY.NUM_ATOMS: jnp.array([self.n], dtype=jnp.int32),
+                KEY.NODE_MASK: jnp.ones(self.n, dtype=pos.dtype),
+                KEY.CELL_VOLUME: jnp.array(
+                    [jnp.abs(jnp.linalg.det(cell_m))], dtype=pos.dtype
+                ),
+            }
+            out = self.model.apply_energy(self.params, data)
+            e = jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
+            if self._d3 is not None:
+                raise NotImplementedError(
+                    'D3 overlay with the chunked large-system path'
+                )
+            return e
         if nl.rev is not None:
             # dense neighbor grid (see _compact_nl): gathers carry
             # scatter-free custom VJPs -- the force assembly becomes a
             # reshape-reduction instead of two scatter-adds
             data = {KEY.EDGE_REV: nl.rev, KEY.EDGE_DENSE_D: self.deg_cap}
-            if self.conv_chunk_rows:
-                data[KEY.CONV_CHUNK_ROWS] = self.conv_chunk_rows
             pi, pj = gather_pair(pos, edge_idx, nl.rev,
                                  dense_d=self.deg_cap)
         else:

@@ -63,6 +63,37 @@ class EdgeEmbedding:
         return p, {'coeffs': self.basis.trainable}
 
     def apply(self, params, data):
+        if KEY.EDGE_VEC_COLS in data:
+            # packed large-system path: the whole edge pipeline flows
+            # as 1-D columns (an (E, W) array lane-pads W -> 128 on
+            # TPU, 14-128x memory at 100k atoms); the only resident
+            # per-edge feature array is the dense-packed block consumed
+            # chunk-wise by the convolutions
+            from ..ops.spherical import spherical_harmonics_cols
+
+            vx, vy, vz = data[KEY.EDGE_VEC_COLS]
+            r = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            data[KEY.EDGE_LENGTH] = r
+            env = self.cutoff_fn.apply(r)
+            if KEY.EDGE_MASK in data:
+                env = env * data[KEY.EDGE_MASK]
+            pref = 2.0 / self.basis.cutoff
+            coeffs = params['coeffs'].astype(r.dtype)
+            emb_cols = [
+                pref * jnp.sin(coeffs[n] * r) / r * env
+                for n in range(self.basis.num_basis)
+            ]
+            sh_cols = spherical_harmonics_cols(
+                self.lmax_edge, vx, vy, vz,
+                normalize=self.normalize_sph,
+                normalization='component',
+            )
+            g = data[KEY.EDGE_PACK_G]
+            from ..ops.scatter import pack_cols
+            data[KEY.EDGE_FEAT_PACKED] = pack_cols(
+                emb_cols + sh_cols, g
+            )
+            return data
         rvec = data[KEY.EDGE_VEC]
         r = jnp.sqrt(jnp.sum(rvec * rvec, axis=-1))
         data[KEY.EDGE_LENGTH] = r
@@ -322,14 +353,77 @@ class IrrepsConvolution:
         # (dense reshape-reduction when the dense grid layout is used)
         rev = data.get(KEY.EDGE_REV)
         dd = data.get(KEY.EDGE_DENSE_D)
+        denom = params['denominator'].astype(x.dtype)
+        packed = data.get(KEY.EDGE_FEAT_PACKED)
+
+        chunk_rows = data.get(KEY.CONV_CHUNK_ROWS) if dd else None
+        if chunk_rows and packed is not None:
+            # packed memory-chunked execution (large systems): the only
+            # resident per-edge array is the dense-packed feature block
+            # (narrow (E, W) arrays lane-pad W -> 128: GBs at 100k
+            # atoms); each remat'd chunk unpacks its slice, builds the
+            # mask/denominator scale, gathers neighbor features, and
+            # runs the kernel
+            from ..ops.scatter import unpack_cols
+
+            pg = data[KEY.EDGE_PACK_G]
+            mask1d = data[self.key_mask]
+            n_emb = self.weight_nn.hs[0]
+            n_sh = self.tp.irreps_in2.dim
+            rows = edge_src.shape[0]
+            n_chunks, rem = divmod(rows, chunk_rows)
+
+            @jax.checkpoint
+            def piece(x, src_c, packed_c, mask_c):
+                # barrier: keeps XLA from fusing the slices into the
+                # pallas custom call's scoped VMEM (see below)
+                xg, packed_c, mask_c = jax.lax.optimization_barrier(
+                    (x[src_c], packed_c, mask_c)
+                )
+                feat = unpack_cols(packed_c, pg, n_emb + n_sh)
+                emb_c = feat[:, :n_emb]
+                sh_c = feat[:, n_emb:]
+                scale_c = (mask_c[:, None] / denom).astype(x.dtype)
+                return self._rows_to_nodes(
+                    params, xg, sh_c, emb_c, scale_c, dd
+                )
+
+            def body(_, i):
+                sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                    a, i * k, k
+                )
+                return None, piece(
+                    x, sl(edge_src, chunk_rows),
+                    sl(packed, chunk_rows // pg), sl(mask1d, chunk_rows),
+                )
+
+            full = rows - rem
+            _, out = jax.lax.scan(
+                body, None, jnp.arange(n_chunks, dtype=jnp.int32),
+            )
+            out = out.reshape((-1,) + out.shape[2:])
+            if rem:
+                out = jnp.concatenate([
+                    out,
+                    piece(x, edge_src[full:],
+                          packed[full // pg:], mask1d[full:]),
+                ])
+            out = out[:x.shape[0]]
+            if self.si2 is None:
+                data[self.key_x] = out
+                return data
+            bias = self.si2.bias_vector(params['si2'], out.dtype)
+            if bias is not None:
+                out = out + bias
+            data[self.key_x] = out
+            return data
+
         sh = data[self.key_filter]
         emb = data[self.key_weight_input]
-        denom = params['denominator'].astype(x.dtype)
         scale = jnp.ones((edge_src.shape[0], 1), x.dtype) / denom
         if self.key_mask in data:
             scale = scale * data[self.key_mask][..., None]
 
-        chunk_rows = data.get(KEY.CONV_CHUNK_ROWS) if dd else None
         if chunk_rows:
             # memory-chunked execution (large systems): scan over row
             # chunks, rematerializing the gathered neighbor features and

@@ -117,3 +117,48 @@ def reverse_permutation(edge_idx: jnp.ndarray) -> jnp.ndarray:
     a = jnp.lexsort((dst, src))   # primary key src, secondary dst
     b = jnp.lexsort((src, dst))   # primary key dst, secondary src
     return jnp.zeros_like(a).at[a].set(b)
+
+
+def pack_cols(cols, g: int) -> jnp.ndarray:
+    """W 1-D (E,) columns -> one (E/g, W*g) array, feature-major groups
+    (column w occupies lanes [w*g, (w+1)*g); row r covers edges
+    [r*g, (r+1)*g)). Both reshapes are free (row-major), so no narrow
+    lane-padded (E, W) intermediate ever materializes -- the whole
+    point: the TPU tiler pads an (E, W) array's lane dim W -> 128
+    (14-128x memory at 100k atoms)."""
+    return jnp.concatenate([c.reshape(-1, g) for c in cols], axis=1)
+
+
+def unpack_cols(block: jnp.ndarray, g: int, w: int) -> jnp.ndarray:
+    """(rows/g, w*g) packed block -> (rows, w) dense 2-D (transposed
+    back for kernel consumption; do this on CHUNK-sized blocks only)."""
+    rows = block.shape[0] * g
+    return jnp.stack(
+        [block[:, i * g:(i + 1) * g].reshape(rows) for i in range(w)],
+        axis=1,
+    )
+
+
+def gather_col(x: jnp.ndarray, src: jnp.ndarray, rev: jnp.ndarray,
+               dst: jnp.ndarray, dense_d: Optional[int] = None):
+    """1-D pairwise gather (x[dst], x[src]) with scatter-free backward
+    (the component-wise sibling of gather_pair; 1-D arrays dodge the
+    (E, 3) lane padding)."""
+    n = x.shape[0]
+
+    @jax.custom_vjp
+    def g(x):
+        return x[dst], x[src]
+
+    def g_fwd(x):
+        return g(x), None
+
+    def g_bwd(_, cts):
+        ct_i, ct_j = cts
+        d = scatter_sum(ct_i, dst, n, sorted=True, dense_d=dense_d)
+        d = d + scatter_sum(ct_j[rev], dst, n, sorted=True,
+                            dense_d=dense_d)
+        return (d,)
+
+    g.defvjp(g_fwd, g_bwd)
+    return g(x)

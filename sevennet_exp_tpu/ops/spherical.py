@@ -143,3 +143,55 @@ def spherical_harmonics(
         mono = eval_monomials(l, vec)
         blocks.append(mono @ coef.T)
     return jnp.concatenate(blocks, axis=-1)
+
+
+def spherical_harmonics_cols(
+    lmax: int,
+    vx: jnp.ndarray,
+    vy: jnp.ndarray,
+    vz: jnp.ndarray,
+    normalize: bool = True,
+    normalization: str = 'component',
+    eps: float = 1e-30,
+) -> List[jnp.ndarray]:
+    """Component-wise variant: three (E,) inputs -> (lmax+1)^2 (E,)
+    outputs, numerically identical to ``spherical_harmonics``.
+
+    Large systems need this: any (E, W) array with small W is
+    lane-padded W -> 128 by the TPU tiler (14-42x memory); 1-D arrays
+    tile densely. Used by the packed edge-feature path
+    (model/layers.py EdgeEmbedding + _keys.EDGE_FEAT_PACKED).
+    """
+    if normalize:
+        n = jnp.sqrt(vx * vx + vy * vy + vz * vz + eps)
+        vx, vy, vz = vx / n, vy / n, vz / n
+    cols: List[jnp.ndarray] = []
+    for l in range(lmax + 1):
+        coef = np.asarray(sh_coefficients(l))
+        if normalization == 'component':
+            coef = coef * np.sqrt(2 * l + 1)
+        elif normalization == 'integral':
+            coef = coef / np.sqrt(4.0 * np.pi)
+        elif normalization != 'norm':
+            raise ValueError(normalization)
+        monos = _monomials(l)
+        mono_vals = []
+        for a, b, c in monos:
+            t = None
+            if a:
+                t = vx ** a
+            if b:
+                t = vy ** b if t is None else t * vy ** b
+            if c:
+                t = vz ** c if t is None else t * vz ** c
+            mono_vals.append(t if t is not None else jnp.ones_like(vx))
+        for m in range(2 * l + 1):
+            acc = None
+            for k, mv in enumerate(mono_vals):
+                cc = float(coef[m, k])
+                if abs(cc) < 1e-14:
+                    continue
+                term = mv * cc
+                acc = term if acc is None else acc + term
+            cols.append(acc if acc is not None else jnp.zeros_like(vx))
+    return cols

@@ -15,6 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    # persistent compile cache: the 100k-atom programs take minutes to
+    # compile; cache hits make repeat runs (and the driver bench) cheap
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/jax_comp_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sevennet_exp_tpu.data.graph import Atoms

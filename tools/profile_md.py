@@ -28,6 +28,16 @@ def timeit(fn, *args, n=20, warmup=3):
 
 def main():
     import jax
+
+    # persistent compile cache: the 100k-atom programs take minutes to
+    # compile; cache hits make repeat runs (and the driver bench) cheap
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/jax_comp_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sevennet_exp_tpu.data.graph import Atoms
