@@ -512,9 +512,12 @@ class MolecularDynamics:
 
     # max rebuild-chunks per device dispatch: long single executions can
     # trip runtime watchdogs (observed: TPU worker restart on a
-    # 100-chunk dispatch); the jit cache keys on n_outer so a fixed
-    # dispatch size also avoids recompiles across different n_steps
-    max_outer_per_dispatch = 25
+    # 100-chunk dispatch at 1k atoms, and on a 25-chunk dispatch at
+    # 100k); the jit cache keys on n_outer so a fixed dispatch size
+    # also avoids recompiles across different n_steps
+    @property
+    def max_outer_per_dispatch(self) -> int:
+        return max(1, min(25, 25000 // max(self.n, 1)))
 
     def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
         """Advance n_steps; returns per-rebuild-chunk metric arrays.

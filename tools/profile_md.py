@@ -98,12 +98,14 @@ def main():
 
     chunk = md._chunk_cached()
     k = md.rebuild_every
+    n_outer = md.max_outer_per_dispatch
 
-    def chunk25(state):
-        return chunk(state, 25, k)
-    t_chunk = timeit(chunk25, md.state, n=3, warmup=1)
-    per_step = t_chunk / (25 * k)
-    print(f'chunk (25x{k} steps):   {t_chunk:.1f} ms -> {per_step:.2f} ms/step')
+    def chunk_n(state):
+        return chunk(state, n_outer, k)
+    t_chunk = timeit(chunk_n, md.state, n=3, warmup=1)
+    per_step = t_chunk / (n_outer * k)
+    print(f'chunk ({n_outer}x{k} steps):   {t_chunk:.1f} ms -> '
+          f'{per_step:.2f} ms/step')
     ns_day = (1.0 / (per_step / 1e3)) * 2.0 * 1e-6 * 86400
     print(f'=> {ns_day:.2f} ns/day at dt=2fs')
 
