@@ -61,6 +61,61 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
+# CG contraction mode: 'terms' = per-(m,n,p) sliced VPU products
+# (25% lane use at mul=32); 'fullwidth' = per-instruction MXU-assisted
+# full-width ops (St = sh @ CT; group reductions as 0/1 matmuls) --
+# fewer, wider VPU ops at the cost of extra small MXU dots. Measured
+# v5e, 7net-0 @1k atoms: fullwidth 17.1 ms/step vs terms 18.9 (bwd
+# kernels 11.9 -> 9.5 ms); fullwidth is the default.
+import os as _os
+
+_CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'fullwidth')
+
+
+def set_cg_mode(mode: str):
+    """'terms' | 'fullwidth'. Affects newly built kernels only -- call
+    make_fused_conv.cache_clear() to rebuild."""
+    global _CG_MODE
+    assert mode in ('terms', 'fullwidth')
+    _CG_MODE = mode
+
+
+def _iota_blockdiag(rows: int, cols: int, group: int, transpose=False):
+    """0/1 matrix M[r, c] = (c // group == r) as f32 (or its transpose)
+    built from iotas in-kernel (pallas rejects captured array
+    constants)."""
+    sh = (rows, cols)
+    r = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    if transpose:
+        return (r // group == c).astype(jnp.float32)
+    return (c // group == r).astype(jnp.float32)
+
+
+def _iota_tile(mul: int, W: int):
+    """(mul, W) with M[j, m*mul + j] = 1: gw @ M tiles a (B, mul) row
+    block across the dim1 groups of a full-width (B, W) layout."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (mul, W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (mul, W), 1)
+    return (c % mul == r).astype(jnp.float32)
+
+
+def _iota_groupsum(W: int, mul: int):
+    """(W, mul) with M[m*mul + j, j] = 1: prod @ M sums the dim1
+    groups of a full-width (B, W) product back to (B, mul)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (W, mul), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (W, mul), 1)
+    return (r % mul == c).astype(jnp.float32)
+
+
+def _iota_lanegroup(W: int, d1: int, mul: int):
+    """(W, d1) with M[m*mul + j, m] = 1: prod @ M reduces each
+    mul-lane group to one column (per-m lane sums)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (W, d1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (W, d1), 1)
+    return (r // mul == c).astype(jnp.float32)
+
+
 def set_dot_mode(mode: str):
     """'fp32' | 'bf16x2' | 'bf16' (see _DOT_MODE). Affects newly built
     kernels only -- call make_fused_conv.cache_clear() to rebuild."""
@@ -120,9 +175,30 @@ def _tp_plan(spec: UVUTensorProductSpec):
         plan.append(dict(
             k=k, mul=mul1, x_off=s1[i1].start, sh_off=s2[i2].start,
             w_off=w_off, dim3=ir3.dim, ir3=ir3, nz=tuple(nz),
+            dim1=ir1.dim, dim2=ir2.dim,
         ))
         w_off += mul1
     return plan, w_off
+
+
+def _fw_eligible(p_ins) -> bool:
+    """Full-width CG eligibility: needs >= 2 input components to pack
+    (the whole point is fusing the (B, mul)-sliced ops into one
+    (B, mul*dim1) op)."""
+    return p_ins['dim1'] >= 2
+
+
+def _fw_ct(p_ins) -> np.ndarray:
+    """(dim2, dim3*W) with CT[n, p*W + m*mul + j] = c_mnp for all j:
+    sh_slice @ CT yields, per output component p, the full-width
+    'tiled' CG factor St_p with St_p[:, m*mul + j] = sum_n c_mnp*y_n --
+    ONE MXU matmul replaces every per-(m, n) broadcast product."""
+    mul, d1, d3 = p_ins['mul'], p_ins['dim1'], p_ins['dim3']
+    W = mul * d1
+    ct = np.zeros((p_ins['dim2'], d3 * W), np.float32)
+    for (m, n, p, c) in p_ins['nz']:
+        ct[n, p * W + m * mul:p * W + (m + 1) * mul] = c
+    return ct
 
 
 def _si2_groups(tp_spec: UVUTensorProductSpec, si2: LinearSpec):
@@ -231,11 +307,14 @@ def _pow2_floor(k: int) -> int:
 
 
 def agg_block_unit(d: int, target: int = 256) -> int:
-    """Edge-block size for the aggregated kernel: the largest
-    power-of-2 multiple of d at or under ~target rows (floor 1x d).
-    Power-of-2 multiples guarantee every smaller target's block divides
-    the largest one, so one array padding serves all layer widths."""
-    return d * _pow2_floor(target // d if target >= d else 1)
+    """Edge-block size for the aggregated kernel: a power-of-2 multiple
+    of d near ~target rows, floored at 8x d -- the kernel's node-row
+    output block is (block/d, d_out) and Mosaic requires the sublane
+    dim be a multiple of 8 (observed failure: regrown deg_cap=40 gave
+    a (4, 576) output block). Power-of-2 multiples guarantee every
+    smaller target's block divides the largest one, so one array
+    padding serves all layer widths."""
+    return d * max(8, _pow2_floor(target // d if target >= d else 1))
 
 
 @functools.lru_cache(maxsize=None)
@@ -268,11 +347,51 @@ def make_fused_conv(
     act_name = mlp_spec.act
     n_mlp = len(mlp_spec.hs) - 1
     assert n_mlp == 3, 'kernel assumes 2 hidden layers (reference default)'
+    n_si2 = len(si2_spec.paths)
 
-    def _cg_acc(xg_ref, sh_ref, p_ins):
+    # full-width CG: per-instruction constant matrices passed as kernel
+    # inputs (pallas rejects captured array constants). ct: sh -> tiled
+    # St; c2: lane-group sums -> dsh columns (bwd).
+    use_fw = _CG_MODE == 'fullwidth'
+    fw_inputs = []
+    seen_ids = set()
+    for grp in groups:
+        for p_ins, _row in grp['ks']:
+            if id(p_ins) in seen_ids:
+                continue
+            seen_ids.add(id(p_ins))
+            if use_fw and _fw_eligible(p_ins):
+                mul, dd1, dd3 = (p_ins['mul'], p_ins['dim1'],
+                                 p_ins['dim3'])
+                c2 = np.zeros((dd3 * dd1, p_ins['dim2']), np.float32)
+                for (m, n, p, c) in p_ins['nz']:
+                    c2[p * dd1 + m, n] = c
+                p_ins['ct'] = len(fw_inputs)
+                fw_inputs.append(_fw_ct(p_ins))  # numpy: jnp arrays
+                p_ins['ct2'] = len(fw_inputs)    # created at trace time
+                fw_inputs.append(c2)             # would leak via the
+                #                                  lru_cache
+            else:
+                p_ins['ct'] = None
+    n_fw = len(fw_inputs)
+
+    def _cg_acc(xg_ref, sh_ref, fw_refs, p_ins):
         """CG contraction for one instruction: list of dim3 (B, mul)."""
         mul = p_ins['mul']
         xo, so = p_ins['x_off'], p_ins['sh_off']
+        if p_ins['ct'] is not None:
+            dd1, dd3 = p_ins['dim1'], p_ins['dim3']
+            W = mul * dd1
+            X = xg_ref[:, xo:xo + W]
+            St = _raw_dot(
+                sh_ref[:, so:so + p_ins['dim2']],
+                fw_refs[p_ins['ct']][...],
+            )
+            R3 = _iota_groupsum(W, mul)
+            return [
+                _raw_dot(X * St[:, p * W:(p + 1) * W], R3)
+                for p in range(dd3)
+            ]
         cache = {}
         acc = [None] * p_ins['dim3']
         for (m, n, p, c) in p_ins['nz']:
@@ -286,9 +405,10 @@ def make_fused_conv(
         return acc
 
     def fwd_kernel(xg_ref, sh_ref, emb_ref, ms_ref,
-                   w0_ref, w1_ref, w2_ref, *si2_refs_and_out):
-        si2_refs = si2_refs_and_out[:-1]
-        out_ref = si2_refs_and_out[-1]
+                   w0_ref, w1_ref, w2_ref, *rest):
+        si2_refs = rest[:n_si2]
+        fw_refs = rest[n_si2:n_si2 + n_fw]
+        out_ref = rest[-1]
         w_rad, _ = _mlp_forward(
             emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
         )
@@ -314,7 +434,7 @@ def make_fused_conv(
             for p_ins, _row in grp['ks']:
                 mul, wo = p_ins['mul'], p_ins['w_off']
                 wn = w_rad[:, wo:wo + mul]
-                acc = _cg_acc(xg_ref, sh_ref, p_ins)
+                acc = _cg_acc(xg_ref, sh_ref, fw_refs, p_ins)
                 accw.append([
                     (a if a is not None
                      else jnp.zeros((b, mul), jnp.float32)) * wn
@@ -329,7 +449,8 @@ def make_fused_conv(
 
     def bwd_kernel(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
                    w0_ref, w1_ref, w2_ref, *refs):
-        si2_refs = refs[:-3]
+        si2_refs = refs[:n_si2]
+        fw_refs = refs[n_si2:n_si2 + n_fw]
         dxg_ref, dsh_ref, demb_ref = refs[-3:]
         w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
         w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
@@ -347,8 +468,9 @@ def make_fused_conv(
                   == jax.lax.broadcasted_iota(jnp.int32, (bb, rows), 1)
                   ).astype(jnp.float32)
         # register-resident accumulators, refs written ONCE at the end
-        dxg_acc = {}   # (x_off + m*mul, mul) -> (B, mul)
-        dsh_acc = {}   # sh column index -> (B, 1)
+        dxg_acc = {}      # (offset, width) -> (B, width)
+        dsh_acc = {}      # sh column index -> (B, 1)
+        dsh_blk_acc = {}  # (offset, width) -> (B, width) (full-width)
         dw_eff_cols = {}
         for grp in groups:
             W = si2_refs[grp['path']][...] * grp['alpha']
@@ -368,6 +490,48 @@ def make_fused_conv(
                 wn = w_eff[:, wo:wo + mul]
                 gw = [gmcat[p][:, row:row + mul] * wn
                       for p in range(grp['dim3'])]
+                if p_ins['ct'] is not None:
+                    # full-width backward: tiled gw rides the same
+                    # St factor; group reductions via 0/1 MXU dots
+                    dd1, dd3 = p_ins['dim1'], p_ins['dim3']
+                    W = mul * dd1
+                    X = xg_ref[:, xo:xo + W]
+                    St = _raw_dot(
+                        sh_ref[:, so:so + p_ins['dim2']],
+                        fw_refs[p_ins['ct']][...],
+                    )
+                    Rt = _iota_tile(mul, W)
+                    R2 = _iota_lanegroup(W, dd1, mul)
+                    R3 = _iota_groupsum(W, mul)
+                    dX = None
+                    dw_acc_fw = None
+                    zs = []
+                    for p in range(dd3):
+                        St_p = St[:, p * W:(p + 1) * W]
+                        T = _raw_dot(gw[p], Rt)       # (B, W) tiled
+                        v = T * St_p
+                        dX = v if dX is None else dX + v
+                        zs.append(_raw_dot(T * X, R2))  # (B, dd1)
+                        acc_p = _raw_dot(X * St_p, R3)  # (B, mul)
+                        t = gmcat[p][:, row:row + mul] * acc_p
+                        dw_acc_fw = (t if dw_acc_fw is None
+                                     else dw_acc_fw + t)
+                    kx = (xo, W)
+                    dxg_acc[kx] = (dX if kx not in dxg_acc
+                                   else dxg_acc[kx] + dX)
+                    z = jnp.concatenate(zs, axis=1)  # (B, dd3*dd1)
+                    dsh_blk = _raw_dot(
+                        z, fw_refs[p_ins['ct2']][...]
+                    )  # (B, dim2)
+                    kn = (so, p_ins['dim2'])
+                    dsh_blk_acc[kn] = (dsh_blk if kn not in dsh_blk_acc
+                                       else dsh_blk_acc[kn] + dsh_blk)
+                    key = (wo, mul)
+                    dw_eff_cols[key] = (
+                        dw_acc_fw if key not in dw_eff_cols
+                        else dw_eff_cols[key] + dw_acc_fw
+                    )
+                    continue
                 xm_cache = {}
                 xy_cache = {}
                 gxm_cache = {}
@@ -417,6 +581,8 @@ def make_fused_conv(
         dsh_ref[...] = jnp.zeros_like(dsh_ref)
         for n_col, v in dsh_acc.items():
             dsh_ref[:, n_col:n_col + 1] = dsh_ref[:, n_col:n_col + 1] + v
+        for (off, w), v in dsh_blk_acc.items():
+            dsh_ref[:, off:off + w] = dsh_ref[:, off:off + w] + v
         # assemble dw_eff -> demb through the MLP (concat in column order;
         # pallas TPU has no scatter primitive)
         pieces = []
@@ -467,11 +633,13 @@ def make_fused_conv(
             in_specs=(
                 _especs([d1, f, r, 1], fwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=_especs([d_out], out_rows)[0],
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
+        )(xg, sh, emb, ms, *mlp_ws, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
 
     # block sizes: the bwd carries ~2x the fwd working set (accumulators
     # + caches); with the raised scoped-VMEM cap both run at large
@@ -510,11 +678,13 @@ def make_fused_conv(
                 _especs([d_out], g_rows)
                 + _especs([d1, f, r, 1], bwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=tuple(_especs([d1, f, r], bwd_block)),
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws)
+        )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dsh, demb, jnp.zeros_like(ms), zeros_mlp, zeros_si2)
