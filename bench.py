@@ -23,7 +23,7 @@ def main():
     # compile; cache hits make repeat runs (and the driver bench) cheap
     try:
         jax.config.update('jax_compilation_cache_dir',
-                          '/tmp/jax_comp_cache')
+                          '/root/repo/.jax_comp_cache')
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           5.0)
     except Exception:
