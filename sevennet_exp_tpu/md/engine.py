@@ -93,6 +93,7 @@ class MolecularDynamics:
         self.skin = skin
         self.build_cutoff = self.cutoff + skin
         self.rebuild_every = rebuild_every
+        self._rebuild_every0 = rebuild_every
         self.dt = dt_fs * FS
         self.temperature_K = temperature_K
         self.ensemble = ensemble
@@ -422,12 +423,12 @@ class MolecularDynamics:
         base = base.astype(jnp.int32)
         src_p = base.at[row].set(src.astype(jnp.int32), mode='drop')
         valid = jnp.zeros(e_model, bool).at[row].set(True, mode='drop')
-        overflow = nl.overflow | jnp.any(keep & (rank >= D))
         edge_idx = jnp.stack([base, src_p])
         return NeighborState(
             edge_idx=edge_idx,
             valid=valid,
-            overflow=overflow,
+            overflow=nl.overflow,
+            overflow_deg=jnp.any(keep & (rank >= D)),
             ref_pos=nl.ref_pos,
             rev=reverse_permutation(edge_idx),
         )
@@ -498,6 +499,7 @@ class MolecularDynamics:
                     'energy': state.energy,
                     'temperature': integrate.temperature(state, self.masses),
                     'overflow': nl.overflow,
+                    'overflow_deg': nl.overflow_deg,
                     'max_disp2': max_disp2,
                 }
                 if npt:
@@ -559,22 +561,37 @@ class MolecularDynamics:
         chunk = self._chunk_cached()
         state, metrics = chunk(self.state, n_outer, k)
         metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        grew = False
         if metrics['overflow'].any():
-            # one flag covers both tiers; grow both modestly (rare, and
-            # a too-big Verlet list only costs rebuild time)
+            # Verlet build list overflowed: grow only it (the dense
+            # grid has its own flag -- joint growth used to inflate
+            # BOTH caps on every overflow, 62% oversized arrays)
             self.e_cap = int(self.e_cap * 1.25 // 256 + 1) * 256
+            grew = True
+        if metrics['overflow_deg'].any():
             self.deg_cap = int(np.ceil(self.deg_cap * 1.25 / 4.0) * 4)
+            grew = True
+        if grew:
             return None  # retry from the same state
-        if (metrics['max_disp2'] > (0.5 * self.md_buffer) ** 2).any():
+        bound = 0.5 * self.md_buffer
+        worst = float(np.sqrt(metrics['max_disp2'].max()))
+        if worst > bound:
             # neighbor list went stale inside a chunk: jump straight to
             # a cadence that bounds per-chunk displacement at ~70% of
             # the threshold (each halving costs a fresh chunk compile,
             # so converge in one adjustment instead of several)
-            worst = float(np.sqrt(metrics['max_disp2'].max()))
-            safe = 0.7 * 0.5 * self.md_buffer
-            k_new = max(1, int(self.rebuild_every * safe / worst))
+            k_new = max(1, int(self.rebuild_every * 0.7 * bound / worst))
             self.rebuild_every = min(k_new, max(1, self.rebuild_every - 1))
             return None
+        if (worst < 0.5 * bound
+                and self.rebuild_every < self._rebuild_every0):
+            # cadence recovery: a hot unequilibrated start can shrink
+            # the cadence; once displacements settle, walk it back up
+            # (the jit cache keeps one program per k, so recovery costs
+            # at most a few compiles per run)
+            self.rebuild_every = min(
+                self._rebuild_every0, self.rebuild_every + 2
+            )
         self.state = state
         if self.ensemble == 'npt' and self.use_cell_list:
             # the bin grid is compile-time static; if the barostat

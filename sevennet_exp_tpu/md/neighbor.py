@@ -27,9 +27,11 @@ import numpy as np
 class NeighborState(NamedTuple):
     edge_idx: jnp.ndarray   # (2, E) int32; [0]=center i, [1]=neighbor j
     valid: jnp.ndarray      # (E,) bool
-    overflow: jnp.ndarray   # () bool
+    overflow: jnp.ndarray   # () bool — Verlet build capacity overflow
     ref_pos: jnp.ndarray    # (N, 3) positions at build time
     rev: jnp.ndarray = None  # (E,) reverse-edge permutation (optional)
+    overflow_deg: jnp.ndarray = None  # () bool — dense-grid degree
+    #                                   overflow (set by _compact_nl)
 
 
 def mic_displacements(pos_i, pos_j, cell, inv_cell):
