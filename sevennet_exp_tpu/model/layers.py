@@ -139,6 +139,15 @@ class MultiCutoffEdgeEmbedding:
         return p, m
 
     def apply(self, params, data):
+        if KEY.EDGE_VEC_COLS in data:
+            # packed large-system layout: reconstruct the (E, 3) array
+            # (multi-cutoff at 100k-scale pays the lane padding; the
+            # packed fast path currently covers plain EdgeEmbedding)
+            data = dict(data)
+            data[KEY.EDGE_VEC] = jnp.stack(
+                data[KEY.EDGE_VEC_COLS], axis=1
+            )
+            data.pop(KEY.CONV_CHUNK_ROWS, None)
         rvec = data[KEY.EDGE_VEC]
         r = jnp.sqrt(jnp.sum(rvec * rvec, axis=-1))
         data[KEY.EDGE_LENGTH] = r
