@@ -178,13 +178,35 @@ def main_cp(argv=None):
 
 
 def main_patch_lammps(argv=None):
+    p = argparse.ArgumentParser(
+        prog='sevenn_patch_lammps',
+        description='stage the LAMMPS integration files '
+                    '(pair style scaffold + exec library build)',
+    )
+    p.add_argument('lammps_src', nargs='?', default=None,
+                   help='LAMMPS src/ directory to copy the pair style '
+                        'into (omit to just print instructions)')
+    args = p.parse_args(argv)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pair_src = os.path.join(repo, '..', 'runtime', 'lammps')
+    pair_src = os.path.normpath(pair_src)
     print(
         'SevenNet-TPU serves MD natively (sevennet_exp_tpu.md / '
-        'sevennet_exp_tpu.parallel) instead of patching LAMMPS.\n'
-        'For coupling an external MD driver to TPU inference, use the '
-        'deployed artifact (sevenn_get_model) with the C++ PJRT host '
-        'under runtime/ (see runtime/README.md).'
+        'sevennet_exp_tpu.parallel). For LAMMPS-driven MD:\n'
+        f'  1. tools/build_sevenn_exec.sh  (numerically verified C API '
+        'around the deployed artifact)\n'
+        f'  2. copy {pair_src}/pair_sevennet_tpu.* into your LAMMPS '
+        'src/ and link -lsevenn_exec\n'
+        '  3. pair_style sevennet_tpu <deployed artifact dir> '
+        '(from sevenn_get_model)\n'
+        'See runtime/README.md for the build-flag requirements.'
     )
+    if args.lammps_src:
+        import shutil as _sh
+        for fn in os.listdir(pair_src):
+            _sh.copy(os.path.join(pair_src, fn), args.lammps_src)
+        print(f'copied pair style files to {args.lammps_src}')
     return 0
 
 
