@@ -554,13 +554,86 @@ class MolecularDynamics:
             kk: np.concatenate([o[kk] for o in outs]) for kk in outs[0]
         }
 
+    # above this size a single 20-step scan exceeds the device
+    # watchdog (~1 min observed on the v5e runtime); dispatch
+    # step-by-step from the host instead (per-step cost seconds, so
+    # dispatch overhead is negligible)
+    stepwise_threshold = 30000
+
+    def _stepwise_fns(self):
+        key = (self.ensemble, self.e_cap, self.deg_cap,
+               self.use_cell_list, self.cell_cap,
+               self.conv_chunk_rows, tuple(self.grid))
+        if getattr(self, '_sw_key', None) != key:
+            npt = self.ensemble == 'npt'
+            step = self._make_step()
+
+            def build(state):
+                cell = state.cell if npt else None
+                nl = self._build_nl(state.pos, cell)
+                return self._compact_nl(nl, state.pos, cell)
+
+            def prime(state, nl):
+                if npt:
+                    e, f, _ = self._efs_fn(state.pos, nl, state.cell)
+                else:
+                    e, f = self._ef_fn(state.pos, nl)
+                return state._replace(forces=f, energy=e)
+
+            def metrics_fn(state, nl):
+                disp = mic_displacements(
+                    nl.ref_pos, state.pos,
+                    state.cell if npt else self.cell,
+                    (jnp.linalg.inv(state.cell) if npt
+                     else self.inv_cell),
+                )
+                out = {
+                    'energy': state.energy,
+                    'temperature': integrate.temperature(
+                        state, self.masses),
+                    'overflow': nl.overflow,
+                    'overflow_deg': nl.overflow_deg,
+                    'max_disp2': jnp.max(jnp.sum(disp * disp, axis=-1)),
+                }
+                if npt:
+                    out['volume'] = jnp.abs(jnp.linalg.det(state.cell))
+                return out
+
+            self._sw = (jax.jit(build), jax.jit(prime), jax.jit(step),
+                        jax.jit(metrics_fn))
+            self._sw_key = key
+        return self._sw
+
+    def _run_dispatch_stepwise(self, n_outer: int, log=None):
+        build, prime, step, metrics_fn = self._stepwise_fns()
+        k = self.rebuild_every
+        state = self.state
+        rows = []
+        for _ in range(n_outer):
+            nl = build(state)
+            state = prime(state, nl)
+            for _ in range(k):
+                state = step(state, nl)
+            rows.append(metrics_fn(state, nl))
+        metrics = {
+            kk: np.asarray([np.asarray(r[kk]) for r in rows])
+            for kk in rows[0]
+        }
+        return self._postprocess_dispatch(state, metrics, n_outer, log)
+
     def _run_dispatch(self, n_outer: int, log=None):
         """One device dispatch of n_outer rebuild-chunks; returns None if
         a capacity/cadence adjustment invalidated the attempt."""
+        if self.n >= self.stepwise_threshold:
+            return self._run_dispatch_stepwise(n_outer, log)
         k = self.rebuild_every
         chunk = self._chunk_cached()
         state, metrics = chunk(self.state, n_outer, k)
         metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        return self._postprocess_dispatch(state, metrics, n_outer, log)
+
+    def _postprocess_dispatch(self, state, metrics, n_outer: int,
+                              log=None):
         grew = False
         if metrics['overflow'].any():
             # Verlet build list overflowed: grow only it (the dense

@@ -96,15 +96,18 @@ def main():
     t_step = timeit(sstep, md.state, nl)
     print(f'one NVT step:           {t_step:.2f} ms')
 
-    chunk = md._chunk_cached()
+    # sustained: through run() so the dispatch policy (chunked scans
+    # vs step-wise for watchdog-bound systems) matches production
     k = md.rebuild_every
-    n_outer = md.max_outer_per_dispatch
-
-    def chunk_n(state):
-        return chunk(state, n_outer, k)
-    t_chunk = timeit(chunk_n, md.state, n=3, warmup=1)
-    per_step = t_chunk / (n_outer * k)
-    print(f'chunk ({n_outer}x{k} steps):   {t_chunk:.1f} ms -> '
+    n_meas = max(k, min(200, md.max_outer_per_dispatch * k))
+    md.run(n_meas)  # warm the run-path jits
+    jax.block_until_ready(md.state.pos)
+    t0 = time.perf_counter()
+    md.run(n_meas)
+    jax.block_until_ready(md.state.pos)
+    t_chunk = (time.perf_counter() - t0) * 1e3
+    per_step = t_chunk / n_meas
+    print(f'run({n_meas} steps):   {t_chunk:.1f} ms -> '
           f'{per_step:.2f} ms/step')
     ns_day = (1.0 / (per_step / 1e3)) * 2.0 * 1e-6 * 86400
     print(f'=> {ns_day:.2f} ns/day at dt=2fs')
