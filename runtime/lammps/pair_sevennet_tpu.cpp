@@ -17,14 +17,17 @@
 //
 // Conventions mirrored from the reference pair style
 // (pair_e3gnn.cpp):
-//   - full neighbor lists, newton off contributions handled by the
-//     symmetric edge list (both (i,j) and (j,i) present)
-//   - edge_vec = x[j] - x[i] (message destination i = edge_idx[0])
+//   - full neighbor lists; periodic ghosts are tag-mapped back to their
+//     local owner (pair_e3gnn.cpp:168-190) so the graph folds onto
+//     nlocal nodes and reaction forces land on owned atoms directly
+//   - edge_vec = x[j] - x[i] computed from the ghost image coordinate
+//     (so the displacement carries the PBC shift), destination i =
+//     edge_idx row 0
 //   - per-step virial from the returned Voigt stress * volume
 //
 // The deployed capacities (signature.yaml n_node/n_edge) bound the
-// local+ghost atom and edge counts; redeploy with larger
-// --n-node/--n-edge for bigger subdomains.
+// local atom and edge counts; redeploy with larger --n-node/--n-edge
+// for bigger subdomains.
 
 #ifdef LAMMPS_VERSION_NUMBER  // only meaningful inside a LAMMPS tree
 
@@ -55,6 +58,27 @@ int sevenn_exec_free();
 
 using namespace LAMMPS_NS;
 
+namespace {
+const char* const kSymbols[] = {
+    "X",  "H",  "He", "Li", "Be", "B",  "C",  "N",  "O",  "F",  "Ne",
+    "Na", "Mg", "Al", "Si", "P",  "S",  "Cl", "Ar", "K",  "Ca", "Sc",
+    "Ti", "V",  "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Zn", "Ga", "Ge",
+    "As", "Se", "Br", "Kr", "Rb", "Sr", "Y",  "Zr", "Nb", "Mo", "Tc",
+    "Ru", "Rh", "Pd", "Ag", "Cd", "In", "Sn", "Sb", "Te", "I",  "Xe",
+    "Cs", "Ba", "La", "Ce", "Pr", "Nd", "Pm", "Sm", "Eu", "Gd", "Tb",
+    "Dy", "Ho", "Er", "Tm", "Yb", "Lu", "Hf", "Ta", "W",  "Re", "Os",
+    "Ir", "Pt", "Au", "Hg", "Tl", "Pb", "Bi", "Po", "At", "Rn", "Fr",
+    "Ra", "Ac", "Th", "Pa", "U",  "Np", "Pu", "Am", "Cm", "Bk", "Cf",
+    "Es", "Fm", "Md", "No", "Lr"};
+}  // namespace
+
+int PairSevenNetTPU::symbol_to_z(const char* sym) {
+  for (int z = 1; z < static_cast<int>(sizeof(kSymbols) / sizeof(*kSymbols));
+       ++z)
+    if (std::strcmp(sym, kSymbols[z]) == 0) return z;
+  return 0;
+}
+
 PairSevenNetTPU::PairSevenNetTPU(LAMMPS* lmp) : Pair(lmp) {
   single_enable = 0;
   restartinfo = 0;
@@ -62,7 +86,22 @@ PairSevenNetTPU::PairSevenNetTPU(LAMMPS* lmp) : Pair(lmp) {
   manybody_flag = 1;
 }
 
-PairSevenNetTPU::~PairSevenNetTPU() { sevenn_exec_free(); }
+PairSevenNetTPU::~PairSevenNetTPU() {
+  sevenn_exec_free();
+  if (allocated) {
+    memory->destroy(setflag);
+    memory->destroy(cutsq);
+  }
+}
+
+void PairSevenNetTPU::allocate() {
+  allocated = 1;
+  const int n = atom->ntypes + 1;
+  memory->create(setflag, n, n, "pair:setflag");
+  memory->create(cutsq, n, n, "pair:cutsq");
+  for (int i = 1; i < n; ++i)
+    for (int j = i; j < n; ++j) setflag[i][j] = 1;
+}
 
 void PairSevenNetTPU::settings(int narg, char** arg) {
   if (narg != 1) error->all(FLERR, "pair_style sevennet_tpu <artifact>");
@@ -73,30 +112,37 @@ void PairSevenNetTPU::settings(int narg, char** arg) {
 
 void PairSevenNetTPU::coeff(int narg, char** arg) {
   // pair_coeff * * <element for type 1> <element for type 2> ...
-  // map LAMMPS types to atomic numbers via the artifact's
-  // meta.yaml chemical_symbols_to_index (left to the integrator; the
-  // scaffold takes Z directly from atom->type -> z_of_type_ set here)
+  // (the model path lives in pair_style settings, so elements start at
+  // arg[2] -- unlike the reference, whose arg[2] is the model path)
   if (!allocated) allocate();
-  for (int i = 3; i < narg; ++i)
-    z_of_type_.push_back(symbol_to_z(arg[i]));
+  z_of_type_.clear();
+  for (int i = 2; i < narg; ++i) {
+    const int z = symbol_to_z(arg[i]);
+    if (z == 0) error->all(FLERR, "sevennet_tpu: unknown element symbol");
+    z_of_type_.push_back(z);
+  }
+  if (static_cast<int>(z_of_type_.size()) != atom->ntypes)
+    error->all(FLERR, "sevennet_tpu: one element per atom type required");
 }
 
 void PairSevenNetTPU::compute(int eflag, int vflag) {
   ev_init(eflag, vflag);
   const int nlocal = atom->nlocal;
-  const int nall = nlocal + atom->nghost;
-  if (nall > cap_node_)
+  if (nlocal > cap_node_)
     error->one(FLERR, "sevennet_tpu: n_node capacity exceeded; "
                       "redeploy with a larger --n-node");
 
   std::vector<int> z(cap_node_, 0);
   std::vector<float> node_mask(cap_node_, 0.f);
-  for (int i = 0; i < nall; ++i) {
+  for (int i = 0; i < nlocal; ++i) {
     z[i] = z_of_type_[atom->type[i] - 1];
-    node_mask[i] = (i < nlocal) ? 1.f : 0.f;  // ghosts carry no energy
+    node_mask[i] = 1.f;
   }
 
-  // symmetric edge list from the full neighbor list
+  // Symmetric edge list over LOCAL nodes only: a neighbor j that is a
+  // ghost is folded back to its owning local atom via tag->map (the
+  // reference convention, pair_e3gnn.cpp:168-190), while edge_vec uses
+  // the ghost image coordinate so the periodic shift is preserved.
   std::vector<int> eidx(2 * cap_edge_, cap_node_ - 1);
   std::vector<float> evec(3 * cap_edge_, 0.f);
   std::vector<float> emask(cap_edge_, 0.f);
@@ -104,12 +150,20 @@ void PairSevenNetTPU::compute(int eflag, int vflag) {
   NeighList* l = list;
   for (int ii = 0; ii < l->inum; ++ii) {
     const int i = l->ilist[ii];
+    if (i >= nlocal) continue;
     for (int jj = 0; jj < l->numneigh[i]; ++jj) {
-      int j = l->firstneigh[i][jj] & NEIGHMASK;
+      const int j = l->firstneigh[i][jj] & NEIGHMASK;
+      int jl = j;
+      if (j >= nlocal) {
+        jl = atom->map(atom->tag[j]);
+        if (jl < 0 || jl >= nlocal)
+          error->one(FLERR, "sevennet_tpu: ghost atom has no local owner "
+                            "(requires atom_modify map yes)");
+      }
       if (ne >= cap_edge_)
         error->one(FLERR, "sevennet_tpu: n_edge capacity exceeded");
-      eidx[ne] = i;                 // row 0: destination
-      eidx[cap_edge_ + ne] = j;     // row 1: source
+      eidx[ne] = i;                  // row 0: destination (local)
+      eidx[cap_edge_ + ne] = jl;     // row 1: source owner (local)
       for (int d = 0; d < 3; ++d)
         evec[3 * ne + d] =
             static_cast<float>(atom->x[j][d] - atom->x[i][d]);
@@ -126,7 +180,7 @@ void PairSevenNetTPU::compute(int eflag, int vflag) {
                       node_mask.data(), vol, &e, f.data(), stress) != 0)
     error->one(FLERR, "sevennet_tpu: execute failed");
 
-  for (int i = 0; i < nall; ++i)
+  for (int i = 0; i < nlocal; ++i)
     for (int d = 0; d < 3; ++d) atom->f[i][d] += f[3 * i + d];
   if (eflag_global) eng_vdwl += e;
   if (vflag_global) {
@@ -141,6 +195,8 @@ void PairSevenNetTPU::compute(int eflag, int vflag) {
 }
 
 void PairSevenNetTPU::init_style() {
+  if (atom->map_style == Atom::MAP_NONE)
+    error->all(FLERR, "sevennet_tpu requires atom map (atom_modify map yes)");
   neighbor->add_request(this, NeighConst::REQ_FULL);
 }
 

@@ -24,6 +24,9 @@ class PairSevenNetTPU : public Pair {
   void coeff(int, char**) override;
   void init_style() override;
 
+ protected:
+  void allocate();
+
  private:
   int cap_node_ = 0;
   int cap_edge_ = 0;

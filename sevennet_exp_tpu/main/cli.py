@@ -203,6 +203,14 @@ def main_patch_lammps(argv=None):
         'See runtime/README.md for the build-flag requirements.'
     )
     if args.lammps_src:
+        if not os.path.isdir(pair_src):
+            print(
+                f'pair-style sources not found at {pair_src} — '
+                'sevenn_patch_lammps needs a source checkout of this '
+                'repo (the runtime/lammps directory is not shipped as '
+                'package data); clone the repo and rerun from there.'
+            )
+            return 1
         import shutil as _sh
         for fn in os.listdir(pair_src):
             _sh.copy(os.path.join(pair_src, fn), args.lammps_src)

@@ -429,6 +429,7 @@ class MolecularDynamics:
             valid=valid,
             overflow=nl.overflow,
             overflow_deg=jnp.any(keep & (rank >= D)),
+            overflow_bin=nl.overflow_bin,
             ref_pos=nl.ref_pos,
             rev=reverse_permutation(edge_idx),
         )
@@ -500,6 +501,7 @@ class MolecularDynamics:
                     'temperature': integrate.temperature(state, self.masses),
                     'overflow': nl.overflow,
                     'overflow_deg': nl.overflow_deg,
+                    'overflow_bin': nl.overflow_bin,
                     'max_disp2': max_disp2,
                 }
                 if npt:
@@ -515,11 +517,21 @@ class MolecularDynamics:
     # max rebuild-chunks per device dispatch: long single executions can
     # trip runtime watchdogs (observed: TPU worker restart on a
     # 100-chunk dispatch at 1k atoms, and on a 25-chunk dispatch at
-    # 100k); the jit cache keys on n_outer so a fixed dispatch size
-    # also avoids recompiles across different n_steps
+    # 100k). The size-derived value is a PRIOR, not a measured fact:
+    # run() times every dispatch against SEVENNET_DISPATCH_BUDGET_S
+    # (default 30 s — safely under the ~1 min observed kill) and backs
+    # off to fewer chunks per dispatch, then to step-wise host dispatch,
+    # if the actual runtime build is slower than the prior assumes.
+    # SEVENNET_DISPATCH_ATOM_BUDGET overrides the prior's numerator.
     @property
     def max_outer_per_dispatch(self) -> int:
-        return max(1, min(25, 25000 // max(self.n, 1)))
+        import os
+        atom_budget = int(
+            os.environ.get('SEVENNET_DISPATCH_ATOM_BUDGET', 25000)
+        )
+        prior = max(1, min(25, atom_budget // max(self.n, 1)))
+        dyn = getattr(self, '_dyn_outer_cap', None)
+        return prior if dyn is None else min(prior, dyn)
 
     def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
         """Advance n_steps; returns per-rebuild-chunk metric arrays.
@@ -532,13 +544,16 @@ class MolecularDynamics:
         the reference's SEVENN_PRINT_INFO debug hooks; view with
         tensorboard or tools/trace_md.py's parser)."""
         import os
+        import time
         outs: List[Dict[str, np.ndarray]] = []
         steps_done = 0
         profile_dir = os.environ.get('SEVENNET_PROFILE_DIR')
+        budget = float(os.environ.get('SEVENNET_DISPATCH_BUDGET_S', 30.0))
         while steps_done < n_steps:
             k = self.rebuild_every
             want = max(1, -(-(n_steps - steps_done) // k))  # ceil
             n_outer = min(self.max_outer_per_dispatch, want)
+            t0 = time.perf_counter()
             if profile_dir and not getattr(self, '_profiled', False):
                 self._profiled = True
                 with jax.profiler.trace(profile_dir):
@@ -546,10 +561,22 @@ class MolecularDynamics:
                     jax.block_until_ready(self.state.pos)
             else:
                 m = self._run_dispatch(n_outer, log)
+            elapsed = time.perf_counter() - t0
             if m is None:
                 continue  # capacities/cadence changed; recompute sizes
             outs.append(m)
             steps_done += n_outer * self.rebuild_every
+            # measured watchdog back-off (compile time inflates the
+            # first dispatch, so only dispatches after the first for a
+            # given program count): if device time per dispatch
+            # approaches the budget, shrink the chunk count; at 1 chunk
+            # already, fall back to step-wise host dispatch
+            if getattr(self, '_timed_once', False) and elapsed > budget:
+                if n_outer > 1:
+                    self._dyn_outer_cap = max(1, n_outer // 2)
+                elif self.n < self.stepwise_threshold:
+                    self.stepwise_threshold = self.n  # force step-wise
+            self._timed_once = True
         return {
             kk: np.concatenate([o[kk] for o in outs]) for kk in outs[0]
         }
@@ -557,8 +584,21 @@ class MolecularDynamics:
     # above this size a single 20-step scan exceeds the device
     # watchdog (~1 min observed on the v5e runtime); dispatch
     # step-by-step from the host instead (per-step cost seconds, so
-    # dispatch overhead is negligible)
-    stepwise_threshold = 30000
+    # dispatch overhead is negligible). A prior, not a measured fact:
+    # override with SEVENNET_STEPWISE_THRESHOLD, and run()'s dispatch
+    # timing forces step-wise mode if even a 1-chunk dispatch exceeds
+    # the budget on the actual runtime build.
+    @property
+    def stepwise_threshold(self) -> int:
+        forced = getattr(self, '_stepwise_threshold', None)
+        if forced is not None:
+            return forced
+        import os
+        return int(os.environ.get('SEVENNET_STEPWISE_THRESHOLD', 30000))
+
+    @stepwise_threshold.setter
+    def stepwise_threshold(self, v: int):
+        self._stepwise_threshold = v
 
     def _stepwise_fns(self):
         key = (self.ensemble, self.e_cap, self.deg_cap,
@@ -593,6 +633,7 @@ class MolecularDynamics:
                         state, self.masses),
                     'overflow': nl.overflow,
                     'overflow_deg': nl.overflow_deg,
+                    'overflow_bin': nl.overflow_bin,
                     'max_disp2': jnp.max(jnp.sum(disp * disp, axis=-1)),
                 }
                 if npt:
@@ -643,6 +684,13 @@ class MolecularDynamics:
             grew = True
         if metrics['overflow_deg'].any():
             self.deg_cap = int(np.ceil(self.deg_cap * 1.25 / 4.0) * 4)
+            grew = True
+        if metrics.get('overflow_bin', np.False_).any():
+            # a cell-list bin overflowed (e.g. NPT compression raised
+            # density past the t=0 sizing): grow cell_cap, not e_cap —
+            # overflowing bins silently drop atoms from the candidate
+            # stencil, so this must regrow even when no edge overflowed
+            self.cell_cap = int(self.cell_cap * 1.5 + 4)
             grew = True
         if grew:
             return None  # retry from the same state

@@ -32,6 +32,9 @@ class NeighborState(NamedTuple):
     rev: jnp.ndarray = None  # (E,) reverse-edge permutation (optional)
     overflow_deg: jnp.ndarray = None  # () bool — dense-grid degree
     #                                   overflow (set by _compact_nl)
+    overflow_bin: jnp.ndarray = None  # () bool — cell-list bin overflow
+    #   (an atom's rank in its bin exceeded cell_cap; grow cell_cap /
+    #    re-grid, NOT e_cap — e.g. NPT compression raising density)
 
 
 def mic_displacements(pos_i, pos_j, cell, inv_cell):
@@ -66,6 +69,7 @@ def dense_neighbor_list(pos, cell, cutoff, e_cap: int) -> NeighborState:
         valid=valid,
         overflow=count > e_cap,
         ref_pos=pos,
+        overflow_bin=jnp.zeros((), bool),
     )
 
 
@@ -139,8 +143,9 @@ def cell_list_neighbor_list(
     return NeighborState(
         edge_idx=jnp.stack([i, j]),
         valid=valid,
-        overflow=(count > e_cap) | bin_overflow,
+        overflow=count > e_cap,
         ref_pos=pos,
+        overflow_bin=bin_overflow,
     )
 
 

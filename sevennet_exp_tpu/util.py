@@ -52,3 +52,32 @@ def unique_filepath(filepath: str) -> str:
         if not os.path.exists(new_path):
             return new_path
         cnt += 1
+
+
+def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
+    """Point JAX's persistent compilation cache at a repo-local dir.
+
+    The 100k-atom MD programs take minutes to compile (BENCH_NOTES.md);
+    a persistent cache makes repeat runs cheap. The directory is derived
+    from SEVENNET_COMPILE_CACHE, else placed next to this package's
+    checkout — never a hard-coded absolute path.
+    """
+    import os
+
+    import jax
+
+    cache = os.environ.get('SEVENNET_COMPILE_CACHE')
+    if not cache:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        cache = os.path.join(repo, '.jax_comp_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update(
+            'jax_persistent_cache_min_compile_time_secs',
+            min_compile_secs,
+        )
+    except Exception:
+        pass
+    return cache

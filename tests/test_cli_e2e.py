@@ -34,8 +34,6 @@ def test_train_cp_inference_roundtrip(tmp_path):
                              'bessel_basis_num': 4},
             'cutoff_function': {'cutoff_function_name': 'poly_cut'},
             'conv_denominator': 'avg_num_neigh',
-            'shift': 'per_atom_energy_mean',
-            'scale': 'force_rms',
         },
         'train': {
             'random_seed': 1,
@@ -48,6 +46,11 @@ def test_train_cp_inference_roundtrip(tmp_path):
                              ['TotalLoss', 'None']],
         },
         'data': {
+            # shift/scale live in the data section (reference
+            # presets/base.yaml:79-80) — in `model:` they'd be ignored
+            # with a warning (see test_shift_scale_in_model_warns)
+            'shift': 'per_atom_energy_mean',
+            'scale': 'force_rms',
             'batch_size': 2,
             'data_divide_ratio': 0.3,
             # brace expansion through expand_dataset_paths
@@ -78,3 +81,23 @@ def test_train_cp_inference_roundtrip(tmp_path):
     assert 'Energy MAE' in errors and 'Force RMSE' in errors
     per_graph = (out / 'per_graph.csv').read_text().splitlines()
     assert len(per_graph) == 3  # header + 2 structures
+
+
+def test_shift_scale_in_model_warns():
+    """shift/scale belong in data: (reference presets/base.yaml:79-80);
+    placing them under model: must warn that they are ignored, so a
+    misfiled fixture cannot silently train with default statistics."""
+    import warnings as _w
+
+    from sevennet_exp_tpu.parse_input import init_model_config
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter('always')
+        init_model_config({
+            'chemical_species': 'auto',
+            'shift': 'per_atom_energy_mean',
+            'scale': 'force_rms',
+        })
+    msgs = [str(r.message) for r in rec]
+    assert any('shift' in m and 'scale' in m and 'ignored' in m
+               for m in msgs), msgs

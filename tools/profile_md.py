@@ -31,13 +31,8 @@ def main():
 
     # persistent compile cache: the 100k-atom programs take minutes to
     # compile; cache hits make repeat runs (and the driver bench) cheap
-    try:
-        jax.config.update('jax_compilation_cache_dir',
-                          '/root/repo/.jax_comp_cache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                          5.0)
-    except Exception:
-        pass
+    from sevennet_exp_tpu.util import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from sevennet_exp_tpu.data.graph import Atoms
