@@ -646,20 +646,45 @@ class MolecularDynamics:
         return self._sw
 
     def _run_dispatch_stepwise(self, n_outer: int, log=None):
+        import os
+        import time
         build, prime, step, metrics_fn = self._stepwise_fns()
         k = self.rebuild_every
         state = self.state
         rows = []
+        trace = os.environ.get('SEVENNET_PRINT_DISPATCH')
         for _ in range(n_outer):
+            t0 = time.perf_counter()
             nl = build(state)
             state = prime(state, nl)
+            if trace:
+                jax.block_until_ready(state.forces)
+                t1 = time.perf_counter()
             for _ in range(k):
                 state = step(state, nl)
+            if trace:
+                jax.block_until_ready(state.pos)
+                t2 = time.perf_counter()
             rows.append(metrics_fn(state, nl))
+            if trace:
+                jax.tree_util.tree_map(
+                    jax.block_until_ready, rows[-1]
+                )
+                t3 = time.perf_counter()
+                print(
+                    f'[dispatch] build+prime {t1 - t0:.3f}s  '
+                    f'{k} steps {t2 - t1:.3f}s '
+                    f'({(t2 - t1) / k:.3f}s/step)  metrics '
+                    f'{t3 - t2:.3f}s', flush=True,
+                )
+        t_f0 = time.perf_counter()
         metrics = {
             kk: np.asarray([np.asarray(r[kk]) for r in rows])
             for kk in rows[0]
         }
+        if trace:
+            print(f'[dispatch] metric fetch '
+                  f'{time.perf_counter() - t_f0:.3f}s', flush=True)
         return self._postprocess_dispatch(state, metrics, n_outer, log)
 
     def _run_dispatch(self, n_outer: int, log=None):

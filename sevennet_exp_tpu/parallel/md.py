@@ -1,82 +1,34 @@
-"""Domain-decomposed MD: shard_map over a device ring with per-layer
-ghost-feature halo exchange (`lax.ppermute` over ICI).
+"""Domain-decomposed MD over a 1-D device ring (slab decomposition).
 
-The TPU-native replacement of the reference's multi-GPU LAMMPS engine
-(pair_e3gnn_parallel.cpp + comm_brick.cpp): the L-layer message-passing
-network keeps collectives *inside* the jitted step -- before every
-convolution, ghost rows of the feature array are refreshed from the ring
-neighbors (the analog of the L+1-segment forward_comm,
-pair_e3gnn_parallel.cpp:355-387). Backward communication (ghost feature
-gradients accumulated to owners, :401-438 -- 140 lines of manual C++
-autograd there) falls out of jax.grad: the VJP of ppermute is the
-reverse ppermute.
+Since round 3 this is a thin front over the generalized brick engine
+(parallel/mdbrick.py) with a (n_devices,) mesh: one staged ppermute
+halo phase, the dense-grid scatter-free fast path per shard, global
+Nose-Hoover, psum'd virial. Kept as its own entry point because the
+slab ring is the common case and the reference's parallel pair style
+is the 1-D-per-rank analog (pair_e3gnn_parallel.cpp + comm_brick.cpp).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
 
-from .. import _keys as KEY
 from ..data.graph import Atoms
-from ..data.periodic import atomic_masses
-from ..md import integrate
-from ..md.integrate import MDState
-from ..md.units import fs as FS
-from ..model import layers as L
-from ..model.model import SevenNetModel
-from .domain import DomainSpec, decompose
-
-AXIS = 'dd'
+from .mdbrick import BrickMolecularDynamics
 
 
-def _halo_refresh_fn(spec_caps, send_idx, send_mask, ghost_shift=None):
-    """Returns refresh(x) for per-device arrays inside shard_map.
-
-    x: (cap_all, D); rows [cap_loc:cap_loc+cap_ghost) are filled from the
-    right neighbor's side-0 sends, rows [cap_loc+cap_ghost:) from the left
-    neighbor's side-1 sends. If ghost_shift is given, it is added
-    (positions); for features it is None.
-    """
-    cap_loc, cap_ghost, n_dev = spec_caps
-
-    def refresh(x):
-        d = x[..., None] if x.ndim == 1 else x
-        send0 = d[send_idx[0]] * send_mask[0][:, None]
-        send1 = d[send_idx[1]] * send_mask[1][:, None]
-        if ghost_shift is not None:
-            send0 = send0 + ghost_shift[0] * send_mask[0][:, None]
-            send1 = send1 + ghost_shift[1] * send_mask[1][:, None]
-        # side-0 sends go to the LEFT neighbor: perm maps src -> dst
-        from_right = jax.lax.ppermute(
-            send0, AXIS,
-            [(i, (i - 1) % n_dev) for i in range(n_dev)],
-        )
-        from_left = jax.lax.ppermute(
-            send1, AXIS,
-            [(i, (i + 1) % n_dev) for i in range(n_dev)],
-        )
-        out = jnp.concatenate([d[:cap_loc], from_right, from_left], axis=0)
-        return out[..., 0] if x.ndim == 1 else out
-
-    return refresh
-
-
-class ParallelMolecularDynamics:
+class ParallelMolecularDynamics(BrickMolecularDynamics):
     """NVE/NVT MD over an n-device ring (1-D slab decomposition)."""
 
     def __init__(
         self,
-        model: SevenNetModel,
+        model,
         params,
         atoms: Atoms,
         n_devices: Optional[int] = None,
+        axis: int = 0,
         dt_fs: float = 2.0,
         temperature_K: float = 300.0,
         ensemble: str = 'nvt',
@@ -87,381 +39,11 @@ class ParallelMolecularDynamics:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
     ):
-        # fused pallas conv kernels (first-order differentiable: forces)
-        # — default on for real TPU meshes, off for the CPU-device
-        # sharding oracle used in tests. Global toggle; explicit values
-        # (True OR False) are always honored.
-        from ..ops import pallas_tp
-        if use_pallas is None:
-            if jax.default_backend() not in ('cpu',):
-                pallas_tp.enable(True)
-        else:
-            pallas_tp.enable(bool(use_pallas))
-        devices = jax.devices()
-        self.n_dev = n_devices or len(devices)
-        assert self.n_dev >= 2, 'use md.engine.MolecularDynamics for 1 device'
-        self.mesh = Mesh(np.array(devices[:self.n_dev]), (AXIS,))
-        self.model = model
-        self.params = params
-        self.dtype = dtype
-        self.atoms = atoms
-        self.cutoff = float(model.cutoff)
-        self.skin = skin
-        self.build_cutoff = self.cutoff + skin
-        self.dt = dt_fs * FS
-        self.temperature_K = temperature_K
-        self.ensemble = ensemble
-        self.tdamp = (tdamp_fs or 50.0 * dt_fs) * FS
-        self.rebuild_every = rebuild_every
-        self.seed = seed
-        self.time_steps = 0
-
-        self.volume = float(abs(np.linalg.det(np.asarray(atoms.cell))))
-        # global thermostat DOF: real atoms only, never padded rows
-        self.n_dof = 3 * len(atoms)
-
-        self.spec = decompose(atoms, self.n_dev, self.build_cutoff)
-        self._push_state(init_velocities=True)
-
-    # -- host <-> device -----------------------------------------------
-    def _push_state(self, init_velocities=False, vel_global=None):
-        spec = self.spec
-        self.Z = jnp.asarray(spec.z, dtype=jnp.int32)
-        self.pos = jnp.asarray(spec.pos, dtype=self.dtype)
-        self.loc_mask = jnp.asarray(spec.loc_mask, dtype=self.dtype)
-        self.send_idx = jnp.asarray(spec.send_idx, dtype=jnp.int32)
-        self.send_mask = jnp.asarray(spec.send_mask, dtype=self.dtype)
-        self.ghost_shift = jnp.asarray(spec.ghost_shift, dtype=self.dtype)
-        self.edge_idx = jnp.asarray(spec.edge_idx, dtype=jnp.int32)
-        self.edge_mask = jnp.asarray(spec.edge_mask, dtype=self.dtype)
-        masses = np.asarray(atomic_masses)[spec.z] * (spec.loc_mask > 0)
-        masses = masses + (spec.loc_mask == 0)  # padded rows: mass 1
-        self.masses = jnp.asarray(masses, dtype=self.dtype)
-
-        if init_velocities:
-            rng = np.random.default_rng(self.seed)
-            from ..md.units import kB
-            v = rng.normal(size=spec.pos.shape) * np.sqrt(
-                kB * self.temperature_K / np.asarray(masses)
-            )[..., None]
-            v = v * spec.loc_mask[..., None]
-            self.vel = jnp.asarray(v, dtype=self.dtype)
-        elif vel_global is not None:
-            vel = np.zeros_like(spec.pos)
-            off = 0
-            for d in range(self.n_dev):
-                m = int(spec.n_loc[d])
-                vel[d, :m] = vel_global[
-                    spec.owner_perm[off:off + m]
-                ]
-                off += m
-            self.vel = jnp.asarray(vel, dtype=self.dtype)
-
-    def gather_global(self):
-        """(pos, vel, z) concatenated back to original atom order."""
-        spec = self.spec
-        pos = np.asarray(self.pos)
-        vel = np.asarray(self.vel)
-        n = len(self.atoms)
-        gp = np.zeros((n, 3))
-        gv = np.zeros((n, 3))
-        off = 0
-        for d in range(self.n_dev):
-            m = int(spec.n_loc[d])
-            gp[spec.owner_perm[off:off + m]] = pos[d, :m]
-            gv[spec.owner_perm[off:off + m]] = vel[d, :m]
-            off += m
-        return gp, gv
-
-    # -- per-shard energy/forces ---------------------------------------
-    def _shard_energy(self, pos_loc, strain, z, loc_mask, send_idx,
-                      send_mask, ghost_shift, edge_idx, edge_mask):
-        """Per-shard energy; `strain` (3, 3) deforms the edge vectors so
-        dE/dstrain (psum'd over shards) is the global virial -- the
-        autodiff analog of the reference's per-pair virial accumulation
-        (pair_e3gnn_parallel.cpp:479-503)."""
-        spec = self.spec
-        caps = (spec.cap_loc, spec.cap_ghost, self.n_dev)
-        pos_refresh = _halo_refresh_fn(
-            caps, send_idx, send_mask, ghost_shift
+        n = n_devices or len(jax.devices())
+        assert n >= 2, 'use md.engine.MolecularDynamics for 1 device'
+        super().__init__(
+            model, params, atoms, mesh_shape=(n,), axes=(axis,),
+            dt_fs=dt_fs, temperature_K=temperature_K, ensemble=ensemble,
+            tdamp_fs=tdamp_fs, skin=skin, rebuild_every=rebuild_every,
+            seed=seed, dtype=dtype, use_pallas=use_pallas,
         )
-        feat_refresh = _halo_refresh_fn(caps, send_idx, send_mask)
-
-        pos_all = pos_refresh(
-            jnp.concatenate([
-                pos_loc,
-                jnp.zeros((2 * spec.cap_ghost, 3), pos_loc.dtype),
-            ])
-        )
-        vec = pos_all[edge_idx[1]] - pos_all[edge_idx[0]]
-        r2 = jnp.sum(vec * vec, axis=-1)
-        mask = (edge_mask > 0) & (r2 < self.cutoff ** 2)
-        safe = jnp.where(
-            mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], vec.dtype)
-        )
-        safe = safe + safe @ strain
-        cap_all = spec.cap_all
-        z_all = jnp.concatenate(
-            [z, jnp.zeros(2 * spec.cap_ghost, z.dtype)]
-        )
-        z_all = feat_refresh(z_all.astype(pos_loc.dtype)).astype(jnp.int32)
-        node_mask = jnp.concatenate(
-            [loc_mask, jnp.zeros(2 * spec.cap_ghost, loc_mask.dtype)]
-        )
-        data = {
-            KEY.ATOMIC_NUMBERS: z_all,
-            KEY.EDGE_IDX: edge_idx,
-            KEY.EDGE_VEC: safe,
-            KEY.EDGE_MASK: mask.astype(safe.dtype),
-            KEY.BATCH: jnp.zeros(cap_all, dtype=jnp.int32),
-            KEY.NUM_ATOMS: jnp.array([cap_all], dtype=jnp.int32),
-            KEY.NODE_MASK: node_mask,
-            KEY.CELL_VOLUME: jnp.array([self.volume], safe.dtype),
-        }
-        out = self.model.apply_energy(
-            self.params, data, halo_refresh=feat_refresh
-        )
-        return jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
-
-    def _shard_efs(self, pos_loc, z, loc_mask, send_idx, send_mask,
-                   ghost_shift, edge_idx, edge_mask):
-        """(E_total, local forces, global stress Voigt).
-
-        SPMD autodiff through the ppermute collectives makes the local
-        gradient of the local energy equal the gradient of the GLOBAL
-        energy w.r.t. local positions (the VJP of ppermute is the
-        reverse ppermute); psum of the strain gradient is the global
-        virial. Stress convention matches model.py:124-138:
-        -virial/volume, Voigt (xx, yy, zz, xy, yz, zx).
-        """
-        eps0 = jnp.zeros((3, 3), pos_loc.dtype)
-        e, (g_pos, g_eps) = jax.value_and_grad(
-            self._shard_energy, argnums=(0, 1)
-        )(
-            pos_loc, eps0, z, loc_mask, send_idx, send_mask, ghost_shift,
-            edge_idx, edge_mask,
-        )
-        e_tot = jax.lax.psum(e, AXIS)
-        v = jax.lax.psum(g_eps, AXIS)
-        stress = -jnp.stack([
-            v[0, 0], v[1, 1], v[2, 2], v[0, 1], v[1, 2], v[2, 0]
-        ]) / self.volume
-        return e_tot, -g_pos, stress
-
-    def _shard_ef(self, pos_loc, z, loc_mask, send_idx, send_mask,
-                  ghost_shift, edge_idx, edge_mask):
-        e, f, _ = self._shard_efs(
-            pos_loc, z, loc_mask, send_idx, send_mask, ghost_shift,
-            edge_idx, edge_mask,
-        )
-        return e, f
-
-    # -- step/chunk -----------------------------------------------------
-    def _compiled_chunk(self, length: int):
-        spec = self.spec
-
-        def shard_chunk(pos, vel, key, xi, z, loc_mask, masses,
-                        send_idx, send_mask, ghost_shift,
-                        edge_idx, edge_mask, forces0):
-            sq = lambda a: a.reshape(a.shape[1:])
-            pos, vel, z, loc_mask, masses = map(
-                sq, (pos, vel, z, loc_mask, masses)
-            )
-            send_idx, send_mask, ghost_shift = map(
-                sq, (send_idx, send_mask, ghost_shift)
-            )
-            edge_idx, edge_mask, forces0 = map(
-                sq, (edge_idx, edge_mask, forces0)
-            )
-            key = key.reshape(key.shape[1:])
-            xi = xi.reshape(())
-
-            def ef(p, nl_unused):
-                return self._shard_ef(
-                    p, z, loc_mask, send_idx, send_mask, ghost_shift,
-                    edge_idx, edge_mask,
-                )
-
-            masses_safe = masses
-            if self.ensemble == 'nve':
-                step = integrate.make_nve_step(ef, masses_safe, self.dt)
-            else:
-                # GLOBAL Nose-Hoover: kinetic energy psum'd over the
-                # mesh, DOF = 3 x real atoms (padded rows carry zero
-                # velocity), so xi evolves identically on every shard
-                # -- one thermostat, not n_dev independent ones
-                step = integrate.make_nose_hoover_step(
-                    ef, masses_safe, self.dt, self.temperature_K,
-                    self.tdamp, n_dof=self.n_dof,
-                    ke_reduce=lambda ke: jax.lax.psum(ke, AXIS),
-                )
-
-            e0, f0 = ef(pos, None)
-            state = MDState(pos=pos, vel=vel, forces=f0 * loc_mask[:, None],
-                            energy=e0, key=key, xi=xi)
-
-            def body(s, _):
-                s2 = step(s, None)
-                s2 = s2._replace(
-                    forces=s2.forces * loc_mask[:, None],
-                    vel=s2.vel * loc_mask[:, None],
-                )
-                return s2, None
-
-            state, _ = jax.lax.scan(
-                body, state, None, length=length
-            )
-            ke = jax.lax.psum(
-                0.5 * jnp.sum(masses[:, None] * state.vel ** 2), AXIS
-            )
-            from ..md.units import kB
-            temp = 2.0 * ke / (self.n_dof * kB)
-            _, _, stress = self._shard_efs(
-                state.pos, z, loc_mask, send_idx, send_mask,
-                ghost_shift, edge_idx, edge_mask,
-            )
-            return (
-                state.pos[None], state.vel[None], state.key[None],
-                state.xi[None], state.energy[None], temp[None],
-                stress[None],
-            )
-
-        # (pos, vel, key, xi, z, loc_mask, masses, send_idx, send_mask,
-        #  ghost_shift, edge_idx, edge_mask, forces0)
-        fn = shard_map(
-            shard_chunk, mesh=self.mesh,
-            in_specs=tuple([P(AXIS)] * 13),
-            out_specs=tuple([P(AXIS)] * 7),
-            check_vma=False,
-        )
-        return jax.jit(fn)
-
-    def _chunk_for(self, length: int):
-        """Jitted chunk per (length, caps) signature, cached across
-        run() calls and cap regrowths (cf. md/engine.py _chunk_cached)."""
-        key = (length, self.spec.cap_loc, self.spec.cap_ghost,
-               self.spec.cap_edge)
-        chunks = getattr(self, '_chunks', None)
-        if chunks is None:
-            chunks = self._chunks = {}
-        if key not in chunks:
-            chunks[key] = self._compiled_chunk(length)
-        return chunks[key]
-
-    def _print_comm_stats(self):
-        """SEVENNET_PRINT_COMM debug dump (the analog of the reference's
-        SEVENN_PRINT_INFO comm diagnostics, pair_e3gnn_parallel.cpp:
-        87-93, 441-455): per-device ownership/ghost/edge occupancy and
-        the per-layer halo payload each ppermute refresh moves."""
-        from ..model import layers as L
-        spec = self.spec
-        sends = np.asarray(self.send_mask).sum(axis=2)  # (n_dev, 2)
-        widths = [int(layer.tp.irreps_in1.dim)
-                  for _, layer in self.model.layers
-                  if isinstance(layer, L.IrrepsConvolution)]
-        print(f'[comm] n_dev={self.n_dev} cap_loc={spec.cap_loc} '
-              f'cap_ghost={spec.cap_ghost} cap_edge={spec.cap_edge}')
-        print(f'[comm] n_loc={list(map(int, spec.n_loc))} '
-              f'sends(lo,hi)={sends.astype(int).tolist()}')
-        payload = [2 * spec.cap_ghost * w * 4 for w in widths]
-        print(f'[comm] halo payload/refresh per device: '
-              f'{[f"{p / 1e6:.2f}MB" for p in payload]} '
-              f'(layer widths {widths}; {1 + len(widths)} refreshes '
-              f'per force call incl. positions)')
-
-    def run(self, n_steps: int) -> Dict[str, np.ndarray]:
-        """Advance exactly n_steps (full rebuild_every-sized chunks plus
-        one remainder chunk); returns per-chunk energy / temperature /
-        stress (Voigt, eV/A^3). Set SEVENNET_PRINT_COMM=1 for per-
-        rebuild comm/occupancy diagnostics."""
-        import os
-        print_comm = bool(os.environ.get('SEVENNET_PRINT_COMM'))
-        if print_comm:
-            self._print_comm_stats()
-        if not hasattr(self, '_keys'):
-            base = jax.random.PRNGKey(self.seed + 1)
-            self._keys = jax.random.split(base, self.n_dev)
-            self._xi = jnp.zeros((self.n_dev,), self.dtype)
-        energies, temps, stresses = [], [], []
-        done = 0
-        while done < n_steps:
-            length = min(self.rebuild_every, n_steps - done)
-            chunk = self._chunk_for(length)
-            pos, vel, keys, xi, e, temp, stress = chunk(
-                self.pos, self.vel, self._keys, self._xi,
-                self.Z, self.loc_mask, self.masses,
-                self.send_idx, self.send_mask, self.ghost_shift,
-                self.edge_idx, self.edge_mask,
-                jnp.zeros_like(self.pos),
-            )
-            self.pos, self.vel = pos, vel
-            self._keys, self._xi = keys, xi
-            energies.append(float(np.asarray(e)[0]))
-            temps.append(float(np.asarray(temp)[0]))
-            stresses.append(np.asarray(stress)[0])
-            done += length
-            self.time_steps += length
-            if done < n_steps:
-                self._rebuild()
-                if print_comm:
-                    self._print_comm_stats()
-        return {
-            'energy': np.array(energies),
-            'temperature': np.array(temps),
-            'stress': np.array(stresses),
-        }
-
-    def _rebuild(self):
-        """Host-side rebin + fresh index maps (atom migration). Caps are
-        kept when they still fit and regrown otherwise (decompose
-        handles the growth; shape changes re-jit via _chunk_for)."""
-        gp, gv = self.gather_global()
-        at = Atoms(
-            atomic_numbers=self.atoms.atomic_numbers, pos=gp,
-            cell=self.atoms.cell, pbc=self.atoms.pbc,
-        )
-        self.atoms = at
-        self.spec = decompose(
-            at, self.n_dev, self.build_cutoff,
-            caps=(self.spec.cap_loc, self.spec.cap_ghost,
-                  self.spec.cap_edge),
-        )
-        self._push_state(vel_global=gv)
-
-    # -- single-shot energy/forces (for the oracle test) ----------------
-    def energy_forces(self, return_stress: bool = False):
-        def shard_fn(pos, z, loc_mask, send_idx, send_mask, ghost_shift,
-                     edge_idx, edge_mask):
-            sq = lambda a: a.reshape(a.shape[1:])
-            e, f, s = self._shard_efs(
-                sq(pos), sq(z), sq(loc_mask), sq(send_idx),
-                sq(send_mask), sq(ghost_shift), sq(edge_idx),
-                sq(edge_mask),
-            )
-            return e[None], f[None], s[None]
-
-        fn = shard_map(
-            shard_fn, mesh=self.mesh,
-            in_specs=tuple([P(AXIS)] * 8),
-            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-            check_vma=False,
-        )
-        e, f, s = jax.jit(fn)(
-            self.pos, self.Z, self.loc_mask, self.send_idx,
-            self.send_mask, self.ghost_shift, self.edge_idx,
-            self.edge_mask,
-        )
-        e_tot = float(np.asarray(e)[0])
-        # scatter per-device local forces back to global order
-        f = np.asarray(f)
-        spec = self.spec
-        n = len(self.atoms)
-        fg = np.zeros((n, 3))
-        off = 0
-        for d in range(self.n_dev):
-            m = int(spec.n_loc[d])
-            fg[spec.owner_perm[off:off + m]] = f[d, :m]
-            off += m
-        if return_stress:
-            return e_tot, fg, np.asarray(s)[0]
-        return e_tot, fg
