@@ -27,7 +27,13 @@ class GraphLoader:
         n_node: Optional[int] = None,
         n_edge: Optional[int] = None,
         drop_last: bool = False,
+        shard: Optional[tuple] = None,
     ):
+        """shard: (offset, stride) — yield only batches with index ==
+        offset (mod stride). The multi-host data-parallel contract
+        (parallel/distributed.py): every process builds IDENTICAL
+        global capacities (so jitted shapes agree across hosts) but
+        iterates only its own batch stripe."""
         if hasattr(graphs, 'estimated_sizes'):
             # lazy atoms-backed dataset (SevenNetAtomsDataset): graphs are
             # built per batch on access; sizes come from the estimate
@@ -61,21 +67,33 @@ class GraphLoader:
         self.n_node = n_node or pad_cap(max_nodes, multiple=8)
         self.n_edge = n_edge or pad_cap(max_edges, multiple=128)
         self.n_graph = batch_size + 1  # last slot absorbs padded nodes
+        self.shard = shard
 
-    def __len__(self):
+    def _n_batches_total(self):
         n = len(self.graphs)
         return n // self.batch_size if self.drop_last else (
             (n + self.batch_size - 1) // self.batch_size
         )
 
+    def __len__(self):
+        total = self._n_batches_total()
+        if self.shard is None:
+            return total
+        off, stride = self.shard
+        return (total - off + stride - 1) // stride
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.graphs))
         if self.shuffle:
+            # shard-independent permutation: every process draws the
+            # SAME epoch order so the batch stripes partition it
             order = self.rng.permutation(order)
-        for i in range(0, len(order), self.batch_size):
+        for b, i in enumerate(range(0, len(order), self.batch_size)):
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return
+            if self.shard is not None and b % self.shard[1] != self.shard[0]:
+                continue
             batch = [self.graphs[j] for j in idx]
             try:
                 yield collate_graphs(

@@ -430,7 +430,11 @@ class MolecularDynamics:
             overflow=nl.overflow,
             overflow_deg=jnp.any(keep & (rank >= D)),
             overflow_bin=nl.overflow_bin,
-            ref_pos=nl.ref_pos,
+            # the grid's staleness reference is COMPACT time, not the
+            # (possibly older, reused) Verlet build time — the
+            # 0.5*md_buffer bound in _postprocess_dispatch guards the
+            # cutoff+md_buffer tier only
+            ref_pos=pos,
             rev=reverse_permutation(edge_idx),
         )
 
@@ -469,22 +473,53 @@ class MolecularDynamics:
             self._chunk_key = key
         return self._chunk
 
+    # Verlet-list reuse threshold: the build-cutoff list remains a
+    # superset of all pairs inside cutoff+md_buffer while no atom moved
+    # more than (skin - md_buffer)/2 since ITS build (two approaching
+    # atoms close a pair gap at twice the single-atom bound)
+    @property
+    def _verlet_thresh(self) -> float:
+        return 0.5 * (self.skin - self.md_buffer)
+
+    def _refresh_verlet(self, verlet, pos, cell=None):
+        """Rebuild the Verlet list only when stale (device-side cond).
+        The grid compaction (cheap: ~130 ms at 100k vs ~3 s for the
+        cell-list build) still runs every chunk; this is what makes the
+        two-tier scheme actually two-tier across chunks."""
+        npt = self.ensemble == 'npt'
+        if npt:
+            # evolving cell: MIC staleness vs old ref is ill-defined;
+            # rebuild every chunk (NPT boxes are small today)
+            return self._build_nl(pos, cell)
+        disp = mic_displacements(
+            verlet.ref_pos, pos, self.cell, self.inv_cell
+        )
+        stale = jnp.max(
+            jnp.sum(disp * disp, axis=-1)
+        ) > self._verlet_thresh ** 2
+        return jax.lax.cond(
+            stale,
+            lambda: self._build_nl(pos, cell),
+            lambda: verlet,
+        )
+
     def _compiled_chunk(self):
         step = self._make_step()
 
         @partial(jax.jit, static_argnames=('n_outer', 'k'))
-        def chunk(state: MDState, n_outer: int, k: int):
+        def chunk(state: MDState, verlet, n_outer: int, k: int):
             npt = self.ensemble == 'npt'
 
-            def outer(state, _):
+            def outer(carry, _):
+                state, verlet = carry
                 cell = state.cell if npt else None
-                nl = self._build_nl(state.pos, cell)
-                nl = self._compact_nl(nl, state.pos, cell)
-                if npt:
-                    e, f, _ = self._efs_fn(state.pos, nl, state.cell)
-                else:
-                    e, f = self._ef_fn(state.pos, nl)
-                state = state._replace(forces=f, energy=e)
+                verlet = self._refresh_verlet(verlet, state.pos, cell)
+                nl = self._compact_nl(verlet, state.pos, cell)
+                # no prime force call: state.forces was computed at
+                # these exact positions by the previous chunk's last
+                # step (the old list was still valid there — dispatch
+                # commits only staleness-clean chunks), and run()
+                # primes once at t=0
 
                 def inner(s, _):
                     return step(s, nl), None
@@ -499,18 +534,21 @@ class MolecularDynamics:
                 metrics = {
                     'energy': state.energy,
                     'temperature': integrate.temperature(state, self.masses),
-                    'overflow': nl.overflow,
+                    'overflow': verlet.overflow,
                     'overflow_deg': nl.overflow_deg,
-                    'overflow_bin': nl.overflow_bin,
+                    'overflow_bin': verlet.overflow_bin,
                     'max_disp2': max_disp2,
                 }
                 if npt:
                     metrics['volume'] = jnp.abs(
                         jnp.linalg.det(state.cell)
                     )
-                return state, metrics
+                return (state, verlet), metrics
 
-            return jax.lax.scan(outer, state, None, length=n_outer)
+            (state, verlet), metrics = jax.lax.scan(
+                outer, (state, verlet), None, length=n_outer
+            )
+            return state, verlet, metrics
 
         return chunk
 
@@ -533,6 +571,50 @@ class MolecularDynamics:
         dyn = getattr(self, '_dyn_outer_cap', None)
         return prior if dyn is None else min(prior, dyn)
 
+    def _verlet_key(self):
+        return (self.ensemble, self.e_cap, self.use_cell_list,
+                self.cell_cap, tuple(self.grid))
+
+    def _ensure_verlet(self):
+        """Device-resident Verlet list, persisted across dispatches;
+        (re)built eagerly when absent or capacity keys changed."""
+        v = getattr(self, '_verlet', None)
+        if v is None or getattr(self, '_verlet_cfg', None) != self._verlet_key():
+            cell = self.state.cell if self.ensemble == 'npt' else None
+            v = self._build_nl(self.state.pos, cell)
+            self._verlet = v
+            self._verlet_cfg = self._verlet_key()
+        return v
+
+    def _prime_fns(self):
+        key = (self.ensemble, self.e_cap, self.deg_cap, self.cell_cap,
+               self.conv_chunk_rows, tuple(self.grid))
+        if getattr(self, '_pf_key', None) != key:
+            npt = self.ensemble == 'npt'
+
+            def prime(state, verlet):
+                cell = state.cell if npt else None
+                nl = self._compact_nl(verlet, state.pos, cell)
+                if npt:
+                    e, f, _ = self._efs_fn(state.pos, nl, state.cell)
+                else:
+                    e, f = self._ef_fn(state.pos, nl)
+                return state._replace(forces=f, energy=e)
+
+            self._pf = jax.jit(prime)
+            self._pf_key = key
+        return self._pf
+
+    def _prime_once(self):
+        """One force call to seed state.forces at t=0; every later
+        chunk reuses the forces its own last step computed (the prime
+        per chunk was a full redundant force call — 2.86 s at 100k)."""
+        if self._initialized:
+            return
+        verlet = self._ensure_verlet()
+        self.state = self._prime_fns()(self.state, verlet)
+        self._initialized = True
+
     def run(self, n_steps: int, log=None) -> Dict[str, np.ndarray]:
         """Advance n_steps; returns per-rebuild-chunk metric arrays.
         Dispatches are capped at max_outer_per_dispatch chunks; a tail
@@ -545,6 +627,7 @@ class MolecularDynamics:
         tensorboard or tools/trace_md.py's parser)."""
         import os
         import time
+        self._prime_once()
         outs: List[Dict[str, np.ndarray]] = []
         steps_done = 0
         profile_dir = os.environ.get('SEVENNET_PROFILE_DIR')
@@ -608,18 +691,15 @@ class MolecularDynamics:
             npt = self.ensemble == 'npt'
             step = self._make_step()
 
-            def build(state):
+            def refresh(verlet, state):
                 cell = state.cell if npt else None
-                nl = self._build_nl(state.pos, cell)
-                return self._compact_nl(nl, state.pos, cell)
+                return self._refresh_verlet(verlet, state.pos, cell)
 
-            def prime(state, nl):
-                if npt:
-                    e, f, _ = self._efs_fn(state.pos, nl, state.cell)
-                else:
-                    e, f = self._ef_fn(state.pos, nl)
-                return state._replace(forces=f, energy=e)
+            def compact(verlet, state):
+                cell = state.cell if npt else None
+                return self._compact_nl(verlet, state.pos, cell)
 
+            # nl (the compact grid) carries the verlet's overflow flags
             def metrics_fn(state, nl):
                 disp = mic_displacements(
                     nl.ref_pos, state.pos,
@@ -640,25 +720,26 @@ class MolecularDynamics:
                     out['volume'] = jnp.abs(jnp.linalg.det(state.cell))
                 return out
 
-            self._sw = (jax.jit(build), jax.jit(prime), jax.jit(step),
-                        jax.jit(metrics_fn))
+            self._sw = (jax.jit(refresh), jax.jit(compact),
+                        jax.jit(step), jax.jit(metrics_fn))
             self._sw_key = key
         return self._sw
 
     def _run_dispatch_stepwise(self, n_outer: int, log=None):
         import os
         import time
-        build, prime, step, metrics_fn = self._stepwise_fns()
+        refresh, compact, step, metrics_fn = self._stepwise_fns()
         k = self.rebuild_every
         state = self.state
+        verlet = self._ensure_verlet()
         rows = []
         trace = os.environ.get('SEVENNET_PRINT_DISPATCH')
         for _ in range(n_outer):
             t0 = time.perf_counter()
-            nl = build(state)
-            state = prime(state, nl)
+            verlet = refresh(verlet, state)
+            nl = compact(verlet, state)
             if trace:
-                jax.block_until_ready(state.forces)
+                jax.block_until_ready(nl.edge_idx)
                 t1 = time.perf_counter()
             for _ in range(k):
                 state = step(state, nl)
@@ -672,7 +753,7 @@ class MolecularDynamics:
                 )
                 t3 = time.perf_counter()
                 print(
-                    f'[dispatch] build+prime {t1 - t0:.3f}s  '
+                    f'[dispatch] refresh+compact {t1 - t0:.3f}s  '
                     f'{k} steps {t2 - t1:.3f}s '
                     f'({(t2 - t1) / k:.3f}s/step)  metrics '
                     f'{t3 - t2:.3f}s', flush=True,
@@ -685,7 +766,10 @@ class MolecularDynamics:
         if trace:
             print(f'[dispatch] metric fetch '
                   f'{time.perf_counter() - t_f0:.3f}s', flush=True)
-        return self._postprocess_dispatch(state, metrics, n_outer, log)
+        out = self._postprocess_dispatch(state, metrics, n_outer, log)
+        if out is not None:
+            self._verlet = verlet
+        return out
 
     def _run_dispatch(self, n_outer: int, log=None):
         """One device dispatch of n_outer rebuild-chunks; returns None if
@@ -694,9 +778,14 @@ class MolecularDynamics:
             return self._run_dispatch_stepwise(n_outer, log)
         k = self.rebuild_every
         chunk = self._chunk_cached()
-        state, metrics = chunk(self.state, n_outer, k)
+        state, verlet, metrics = chunk(
+            self.state, self._ensure_verlet(), n_outer, k
+        )
         metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
-        return self._postprocess_dispatch(state, metrics, n_outer, log)
+        out = self._postprocess_dispatch(state, metrics, n_outer, log)
+        if out is not None:
+            self._verlet = verlet
+        return out
 
     def _postprocess_dispatch(self, state, metrics, n_outer: int,
                               log=None):

@@ -34,6 +34,13 @@ def loader_from_config(config, dataset, is_train: bool = False,
 def train_v2(config: Dict[str, Any], working_dir: str = '.'):
     log = Logger()
     log.init_file(os.path.join(working_dir, 'log.sevenn'))
+    # multi-host bootstrap (TPU pod / SLURM / mpirun / explicit
+    # coordinator): the analog of the reference's torchrun/OMPI env
+    # handling + init_process_group (main/sevenn.py:59-76). No-op for
+    # single-process runs; afterwards jax.devices() is GLOBAL, so the
+    # DP mesh below spans hosts.
+    from ..parallel.distributed import maybe_initialize
+    multi_process = maybe_initialize(log)
     log.greeting()
     log.dict_write(
         {k: v for k, v in config.items() if not k.startswith('_')},
@@ -49,8 +56,18 @@ def train_v2(config: Dict[str, Any], working_dir: str = '.'):
     datasets = datasets_from_config(config, working_dir)
     log.timer_end('dataset', 'Dataset build')
 
+    # multi-host DP: each process iterates its own stripe of the
+    # (identically permuted) train batches; eval runs identically on
+    # every process (deterministic, no reduction needed)
+    shard = None
+    if multi_process and config.get(KEY.IS_DDP, False):
+        shard = (jax.process_index(), jax.process_count())
     loaders = {
-        name: loader_from_config(config, ds, is_train=(name == 'trainset'))
+        name: loader_from_config(
+            config, ds, is_train=(name == 'trainset'),
+            **({'shard': shard} if (shard and name == 'trainset')
+               else {}),
+        )
         for name, ds in datasets.items()
     }
 

@@ -159,7 +159,44 @@ class Trainer:
         is_train: bool = False,
         error_recorder: Optional[ErrorRecorder] = None,
     ):
-        """loader yields padded numpy batch dicts (static capacities)."""
+        """loader yields padded numpy batch dicts (static capacities).
+
+        With a 'dp' mesh, training groups LOCAL_DEVICES consecutive
+        batches into one leading-device-axis stack for the shard_map
+        step (gradients pmean'd over the whole mesh — across hosts too
+        when jax.distributed is initialized; parallel/distributed.py).
+        A trailing group smaller than the device count is dropped, as
+        every device must hold a shard (LAMMPS/NCCL-style strict DP).
+        """
+        if is_train and self.mesh is not None:
+            import numpy as _np
+            n_local = len(jax.local_devices())
+            group = []
+            for batch in loader:
+                group.append(batch)
+                if len(group) < n_local:
+                    continue
+                local = {k: _np.stack([b[k] for b in group])
+                         for k in group[0]}
+                if jax.process_count() > 1:
+                    # multi-host: assemble the global leading-device
+                    # axis from each process's local stripe
+                    sh = NamedSharding(self.mesh, P('dp'))
+                    stacked = {
+                        k: jax.make_array_from_process_local_data(
+                            sh, v)
+                        for k, v in local.items()
+                    }
+                else:
+                    stacked = {k: jnp.asarray(v)
+                               for k, v in local.items()}
+                group = []
+                self.params, self.opt_state, stats = self._train_step_dp(
+                    self.params, self.opt_state, stacked
+                )
+                if error_recorder is not None:
+                    error_recorder.update(stats)
+            return
         for batch in loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if is_train:
