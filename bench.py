@@ -16,6 +16,11 @@ import time
 import numpy as np
 
 
+def jnp_abs_max(a, b):
+    import jax.numpy as jnp
+    return jnp.max(jnp.abs(a - b))
+
+
 def main():
     import jax
 
@@ -80,6 +85,38 @@ def main():
         ensemble='nvt', rebuild_every=20, seed=0,
     )
 
+    # on-chip fused-kernel numerics check (VERDICT r2 #7): the Pallas
+    # conv kernels are interpret-tested on CPU in the suite, but a
+    # Mosaic layout/accumulation bug would only show on real hardware.
+    # Every driver bench doubles as a hardware parity assert: E/F on a
+    # 1k config, fused vs XLA path, must agree to 1e-3 eV/A.
+    from sevennet_exp_tpu.ops import pallas_tp
+    parity = None
+    if pallas_tp.is_enabled():
+        md_p = md
+        if n_atoms > 20000:  # parity on a 1k instance, same widths
+            md_p = MolecularDynamics(
+                model, params, Atoms(
+                    atomic_numbers=np.array(zlist[:1000]),
+                    pos=pos[:1000] % (a * 5), cell=np.eye(3) * a * 5,
+                    pbc=np.array([True] * 3)),
+                dt_fs=dt_fs, temperature_K=30.0, ensemble='nvt',
+            )
+        verlet = md_p._ensure_verlet()
+        nlg = jax.jit(md_p._compact_nl)(verlet, md_p.state.pos)
+        e1, f1 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
+        pallas_tp.enable(False)
+        e0, f0 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
+        pallas_tp.enable(True)
+        d_f = float(jnp_abs_max(f1, f0))
+        d_e = abs(float(e1) - float(e0))
+        parity = d_f
+        print(f'pallas-vs-xla on-chip parity: max|dF|={d_f:.2e} eV/A, '
+              f'|dE|={d_e:.2e} eV', file=sys.stderr)
+        assert d_f <= 1e-3, (
+            f'fused-kernel force mismatch on hardware: {d_f:.3e}'
+        )
+
     # warmup with the SAME call signature as the measured run: n_outer/k
     # are static jit args, so a different warmup step count would leave
     # the measured call to pay the XLA compile
@@ -94,12 +131,15 @@ def main():
 
     steps_per_s = n_steps / dt_wall
     ns_day = steps_per_s * dt_fs * 1e-6 * 86400.0
-    print(json.dumps({
+    out = {
         'metric': f'md_ns_per_day_7net0_nvt_{n_atoms}atoms',
         'value': round(ns_day, 3),
         'unit': 'ns/day',
         'vs_baseline': round(ns_day / 50.0, 4),
-    }))
+    }
+    if parity is not None:
+        out['pallas_max_dF'] = round(parity, 6)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

@@ -164,11 +164,6 @@ class MolecularDynamics:
         # press/berendsen over the pair-style virial)
         self.pressure = pressure_gpa / 160.21766
         self.pdamp = (pdamp_fs or 1000.0 * dt_fs) * FS
-        if ensemble == 'npt' and d3 is not None:
-            raise NotImplementedError(
-                'npt with D3: static replica shifts do not track the '
-                'evolving cell yet'
-            )
 
         key = jax.random.PRNGKey(seed)
         key, vkey = jax.random.split(key)
@@ -192,24 +187,47 @@ class MolecularDynamics:
 
         self._d3 = None
         if d3 is not None:
-            # host-side static setup: per-type tables, replica shifts
+            # host-side static setup: per-type tables, replica shifts.
+            # The shift VECTORS track the runtime cell (tau = tau_frac
+            # @ lat inside dispersion_energy), so only the integer
+            # RANGE is static — for NPT it is enumerated on a
+            # margin-shrunk cell so barostat compression up to
+            # d3_npt_margin (linear) stays covered; _postprocess
+            # re-enumerates if the cell shrinks past it.
             from ..ops import d3 as d3mod
             z_np = np.asarray(atoms.atomic_numbers)
             z_unique, tidx = np.unique(z_np, return_inverse=True)
-            lat_b = np.asarray(atoms.cell, np.float64) / d3mod.AU_TO_ANG
-            c = d3.shift_chunk
-            sv = d3mod.lattice_shifts(
-                lat_b, atoms.pbc, np.sqrt(d3.rthr), c).reshape(-1, c, 3)
-            sc = d3mod.lattice_shifts(
-                lat_b, atoms.pbc, np.sqrt(d3.cn_thr), c).reshape(-1, c, 3)
             self._d3 = dict(
                 engine=d3, mod=d3mod,
                 tables=d3mod.build_tables(z_unique, np.float32),
                 tidx=jnp.asarray(tidx, jnp.int32),
-                lat_b=jnp.asarray(lat_b, dtype),
-                shifts_vdw=jnp.asarray(sv, dtype),
-                shifts_cn=jnp.asarray(sc, dtype),
             )
+            self.d3_npt_margin = 1.15
+            self._d3_enumerate_shifts(np.asarray(atoms.cell, np.float64))
+
+    def _d3_enumerate_shifts(self, cell_ang: np.ndarray):
+        """(Re)build the static integer replica-shift ranges. For NPT
+        the enumeration cell is shrunk by d3_npt_margin so the range
+        covers the barostat compressing every axis by that factor."""
+        d = self._d3
+        d3mod, eng = d['mod'], d['engine']
+        enum_cell = cell_ang.copy()
+        if self.ensemble == 'npt':
+            enum_cell = enum_cell / self.d3_npt_margin
+        lat_b = enum_cell / d3mod.AU_TO_ANG
+        c = eng.shift_chunk
+        pbc = np.array([True, True, True])
+        sv = d3mod.lattice_shifts(
+            lat_b, pbc, np.sqrt(eng.rthr), c).reshape(-1, c, 3)
+        sc = d3mod.lattice_shifts(
+            lat_b, pbc, np.sqrt(eng.cn_thr), c).reshape(-1, c, 3)
+        d['shifts_vdw'] = jnp.asarray(sv, self.dtype)
+        d['shifts_cn'] = jnp.asarray(sc, self.dtype)
+        # coverage record: the cell widths the enumeration supports
+        self._d3_min_widths = self._cell_widths(enum_cell)
+        # shift arrays are closure-captured by the jitted programs;
+        # bump the version so every program cache re-keys
+        self._d3_ver = getattr(self, '_d3_ver', 0) + 1
 
     @staticmethod
     def _cell_widths(cell):
@@ -326,8 +344,15 @@ class MolecularDynamics:
             # away from the measure-zero wrap boundaries)
             frac = (pos @ inv_cell) % 1.0
             pos_w = frac @ cell_m
+            lat_m = cell_m
+            if strain is not None:
+                # D3 virial: strain deforms positions AND lattice so
+                # dE_disp/dstrain contributes to the NPT stress
+                pos_w = pos_w + pos_w @ strain
+                lat_m = cell_m + cell_m @ strain
             e_disp = d['mod'].dispersion_energy(
-                pos_w / d['mod'].AU_TO_ANG, d['lat_b'], d['tidx'],
+                pos_w / d['mod'].AU_TO_ANG,
+                lat_m / d['mod'].AU_TO_ANG, d['tidx'],
                 d['tables'], eng.damping, d['shifts_vdw'], d['shifts_cn'],
                 eng.rthr, eng.cn_thr,
             )
@@ -466,7 +491,8 @@ class MolecularDynamics:
         the jit cache to hit (static n_outer/k still key it)."""
         key = (self.ensemble, self.e_cap, self.deg_cap,
                self.rebuild_every, self.use_cell_list, self.cell_cap,
-               self.conv_chunk_rows, tuple(self.grid))
+               self.conv_chunk_rows, tuple(self.grid),
+               getattr(self, '_d3_ver', 0))
         cached = getattr(self, '_chunk_key', None)
         if cached != key:
             self._chunk = self._compiled_chunk()
@@ -588,7 +614,8 @@ class MolecularDynamics:
 
     def _prime_fns(self):
         key = (self.ensemble, self.e_cap, self.deg_cap, self.cell_cap,
-               self.conv_chunk_rows, tuple(self.grid))
+               self.conv_chunk_rows, tuple(self.grid),
+               getattr(self, '_d3_ver', 0))
         if getattr(self, '_pf_key', None) != key:
             npt = self.ensemble == 'npt'
 
@@ -686,7 +713,8 @@ class MolecularDynamics:
     def _stepwise_fns(self):
         key = (self.ensemble, self.e_cap, self.deg_cap,
                self.use_cell_list, self.cell_cap,
-               self.conv_chunk_rows, tuple(self.grid))
+               self.conv_chunk_rows, tuple(self.grid),
+               getattr(self, '_d3_ver', 0))
         if getattr(self, '_sw_key', None) != key:
             npt = self.ensemble == 'npt'
             step = self._make_step()
@@ -840,6 +868,12 @@ class MolecularDynamics:
                 self.use_cell_list = all(
                     g >= 3 for g in self.grid
                 ) and self.n > 512
+        if self.ensemble == 'npt' and self._d3 is not None:
+            # barostat compressed past the enumerated replica coverage:
+            # re-enumerate (re-jits via the _d3_ver cache keys)
+            widths_now = self._cell_widths(np.asarray(state.cell))
+            if np.any(widths_now < self._d3_min_widths):
+                self._d3_enumerate_shifts(np.asarray(state.cell))
         if log:
             for i in range(n_outer):
                 log(i, {kk: v[i] for kk, v in metrics.items()})
