@@ -243,7 +243,14 @@ def decompose_brick(
         width = _plane_width(cell, ax)
         frac_cut = cutoff / width * P
         sends = [[None, None] for _ in range(D)]
+        empty = np.zeros(0, dtype=np.int64)
         for d in range(D):
+            if P == 1:
+                # undecomposed mesh axis: minimum-image convention
+                # covers it (pbc_eff stays True below) — self-image
+                # ghosts here would double-count every boundary pair
+                sends[d][0] = sends[d][1] = empty
+                continue
             rows_v = np.nonzero(view_atom[d] >= 0)[0]
             u = frac[view_atom[d, rows_v], ax] * P - midx(d, k)
             for side, cond in ((0, u < frac_cut), (1, u > 1 - frac_cut)):

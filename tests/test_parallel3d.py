@@ -88,3 +88,37 @@ def test_brick_nvt_run_with_migration(setup):
     gp, _ = pmd.gather_global()
     assert gp.shape == (len(at), 3)
     assert np.isfinite(gp).all()
+
+
+def test_device_rebuild_matches_host_rebuild(setup):
+    """Device-resident migration/rebuild (the on-ICI analog of LAMMPS
+    pbc+exchange+borders+neighbor, devrebuild.py) must reproduce the
+    host-redecompose trajectory, conserve atom identity through
+    migrations, and leave forces consistent with the serial model."""
+    from sevennet_exp_tpu.calculator import SevenNetCalculator
+
+    model, params, at = setup
+    kw = dict(mesh_shape=(2, 2, 2), ensemble='nvt', rebuild_every=3,
+              dt_fs=2.0, skin=1.0, seed=3, temperature_K=700.0)
+    ph = BrickMolecularDynamics(model, params, at,
+                                device_rebuild=False, **kw)
+    oh = ph.run(9)
+    pd = BrickMolecularDynamics(model, params, at,
+                                device_rebuild=True, **kw)
+    od = pd.run(9)
+    np.testing.assert_allclose(od['energy'], oh['energy'],
+                               rtol=0, atol=2e-3)
+
+    # hot continuation forces migrations (rebuild cadence 3 at 700 K)
+    pd.run(30)
+    ids = np.asarray(pd.ids)[np.asarray(pd.loc_mask) > 0]
+    assert np.array_equal(np.sort(ids), np.arange(len(at)))
+
+    e_dev, f_dev = pd.energy_forces()
+    gp, _ = pd.gather_global()
+    calc = SevenNetCalculator(model=model, params=params)
+    at2 = type(at)(atomic_numbers=at.atomic_numbers, pos=gp,
+                   cell=at.cell, pbc=at.pbc)
+    e_ref = float(calc.get_potential_energy(at2))
+    np.testing.assert_allclose(f_dev, calc.get_forces(), atol=5e-4)
+    assert abs(e_dev - e_ref) < 5e-3
