@@ -309,6 +309,12 @@ class SevenNetCheckpoint:
             )
         else:
             params = self._params
+        # stored leaves are numpy (np.asarray'd at save); return jnp
+        # arrays so traced indexing (e.g. SpeciesWiseRescale's
+        # params['shift'][atom_type]) never hits numpy's __array__
+        import jax
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         return model, params
 
     def yaml_dict(self, mode: str = 'reproduce') -> Dict:
