@@ -19,3 +19,11 @@ import jax  # noqa: E402
 # the axon TPU plugin rewrites jax_platforms at import time; force cpu-only
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
+
+# persistent compile cache: the suite's wall time is dominated by XLA
+# recompiles of the same programs across runs (VERDICT r2 weak #8);
+# the repo-local cache makes repeat suite runs (driver, CI, dev loop)
+# compile-free. Cache keys are HLO hashes — safe across edits.
+from sevennet_exp_tpu.util import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(min_compile_secs=2.0)
