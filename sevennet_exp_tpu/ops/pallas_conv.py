@@ -66,17 +66,23 @@ def set_interpret(flag: bool):
 # full-width ops (St = sh @ CT; group reductions as 0/1 matmuls) --
 # fewer, wider VPU ops at the cost of extra small MXU dots. Measured
 # v5e, 7net-0 @1k atoms: fullwidth 17.1 ms/step vs terms 18.9 (bwd
-# kernels 11.9 -> 9.5 ms); fullwidth is the default.
+# kernels 11.9 -> 9.5 ms). 'fwslim' keeps the fullwidth layout but
+# replaces the 0/1 tile/group-sum matmuls (~3/4 of the kernel's MXU
+# MACs: mul*W per (instr, p) each) with lane concats and slice sums --
+# pure data movement on the VPU instead of dense dots.
 import os as _os
 
 _CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'fullwidth')
 
+_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed')
+
 
 def set_cg_mode(mode: str):
-    """'terms' | 'fullwidth'. Affects newly built kernels only -- call
+    """'terms' | 'fullwidth' | 'fwslim' | 'fwhybrid' | 'fwmixed'.
+    Affects newly built kernels only -- call
     make_fused_conv.cache_clear() to rebuild."""
     global _CG_MODE
-    assert mode in ('terms', 'fullwidth')
+    assert mode in ('terms',) + _FW_MODES
     _CG_MODE = mode
 
 
@@ -352,7 +358,18 @@ def make_fused_conv(
     # full-width CG: per-instruction constant matrices passed as kernel
     # inputs (pallas rejects captured array constants). ct: sh -> tiled
     # St; c2: lane-group sums -> dsh columns (bwd).
-    use_fw = _CG_MODE == 'fullwidth'
+    use_fw = _CG_MODE in _FW_MODES
+    # Per-leg choices. Isolated-kernel timings (v5e, E=44k, mid 7net-0
+    # layer) showed slice-sum group reductions 2.8x faster than the 0/1
+    # matmul in the BACKWARD kernel but 1.5x slower in the forward;
+    # 'fwmixed' picks the per-leg winner. On the FULL 1k MD step,
+    # however, all fw modes land within measurement noise (~+-8%,
+    # /tmp logs 2026-08-17) -- the 0/1 dots are not what the real step
+    # is bound on. Modes kept as tested knobs; default stays
+    # 'fullwidth'.
+    slim_tile_bwd = _CG_MODE in ('fwslim', 'fwhybrid', 'fwmixed')
+    slim_gsum_fwd = _CG_MODE == 'fwslim'
+    slim_gsum_bwd = _CG_MODE in ('fwslim', 'fwmixed')
     fw_inputs = []
     seen_ids = set()
     for grp in groups:
@@ -375,6 +392,25 @@ def make_fused_conv(
                 p_ins['ct'] = None
     n_fw = len(fw_inputs)
 
+    def _groupsum(v, mul, dd1, use_slices):
+        """Sum the dd1 m-groups of a (B, mul*dd1) product to (B, mul):
+        slices = dd1-1 lane-slice adds (no MACs); else one 0/1 MXU
+        dot."""
+        if use_slices:
+            acc = v[:, 0:mul]
+            for m in range(1, dd1):
+                acc = acc + v[:, m * mul:(m + 1) * mul]
+            return acc
+        return _raw_dot(v, _iota_groupsum(mul * dd1, mul))
+
+    def _tile(gw, mul, dd1, use_concat):
+        """Tile a (B, mul) row block dd1 times to (B, mul*dd1):
+        concat = lane concat (no MACs); else one 0/1 MXU dot."""
+        if use_concat:
+            return (jnp.concatenate([gw] * dd1, axis=1)
+                    if dd1 > 1 else gw)
+        return _raw_dot(gw, _iota_tile(mul, mul * dd1))
+
     def _cg_acc(xg_ref, sh_ref, fw_refs, p_ins):
         """CG contraction for one instruction: list of dim3 (B, mul)."""
         mul = p_ins['mul']
@@ -387,9 +423,9 @@ def make_fused_conv(
                 sh_ref[:, so:so + p_ins['dim2']],
                 fw_refs[p_ins['ct']][...],
             )
-            R3 = _iota_groupsum(W, mul)
             return [
-                _raw_dot(X * St[:, p * W:(p + 1) * W], R3)
+                _groupsum(X * St[:, p * W:(p + 1) * W], mul, dd1,
+                          slim_gsum_fwd)
                 for p in range(dd3)
             ]
         cache = {}
@@ -500,19 +536,19 @@ def make_fused_conv(
                         sh_ref[:, so:so + p_ins['dim2']],
                         fw_refs[p_ins['ct']][...],
                     )
-                    Rt = _iota_tile(mul, W)
                     R2 = _iota_lanegroup(W, dd1, mul)
-                    R3 = _iota_groupsum(W, mul)
                     dX = None
                     dw_acc_fw = None
                     zs = []
                     for p in range(dd3):
                         St_p = St[:, p * W:(p + 1) * W]
-                        T = _raw_dot(gw[p], Rt)       # (B, W) tiled
+                        T = _tile(gw[p], mul, dd1,    # (B, W) tiled
+                                  slim_tile_bwd)
                         v = T * St_p
                         dX = v if dX is None else dX + v
                         zs.append(_raw_dot(T * X, R2))  # (B, dd1)
-                        acc_p = _raw_dot(X * St_p, R3)  # (B, mul)
+                        acc_p = _groupsum(X * St_p, mul, dd1,
+                                          slim_gsum_bwd)
                         t = gmcat[p][:, row:row + mul] * acc_p
                         dw_acc_fw = (t if dw_acc_fw is None
                                      else dw_acc_fw + t)

@@ -18,13 +18,20 @@ from samples import nacl_bulk, tiny_model_config
 def interpret_mode():
     pallas_conv.set_interpret(True)
     pallas_tp.set_interpret(True)
+    mode = pallas_conv._CG_MODE
     yield
     pallas_conv.set_interpret(False)
     pallas_tp.set_interpret(False)
     pallas_tp.enable(False)
+    if pallas_conv._CG_MODE != mode:
+        pallas_conv.set_cg_mode(mode)
+        pallas_conv.make_fused_conv.cache_clear()
 
 
-def test_fused_conv_matches_xla_model():
+@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed'])
+def test_fused_conv_matches_xla_model(cg_mode):
+    pallas_conv.set_cg_mode(cg_mode)
+    pallas_conv.make_fused_conv.cache_clear()
     model = build_e3_equivariant_model(tiny_model_config())
     params, _ = model.init(jax.random.PRNGKey(0))
     g = unlabeled_atoms_to_graph(nacl_bulk(), 4.0)
