@@ -144,7 +144,11 @@ void PairSevenNetTPU::compute(int eflag, int vflag) {
   // reference convention, pair_e3gnn.cpp:168-190), while edge_vec uses
   // the ghost image coordinate so the periodic shift is preserved.
   std::vector<int> eidx(2 * cap_edge_, cap_node_ - 1);
+  // padding rows carry a unit dummy vector: a zero displacement would
+  // put r=0 through the radial basis and the resulting NaN survives
+  // masking (NaN * 0 = NaN) — same convention as the python collater
   std::vector<float> evec(3 * cap_edge_, 0.f);
+  for (int k = 0; k < cap_edge_; ++k) evec[3 * k] = 1.f;
   std::vector<float> emask(cap_edge_, 0.f);
   int ne = 0;
   NeighList* l = list;

@@ -21,7 +21,9 @@
 // Input contract = signature.yaml (scripts/deploy.py): arrays padded
 // to the deployed capacities; edge_idx int32 (2, n_edge) with [0] the
 // message destination; edge_vec f32 (n_edge, 3) = pos[src] - pos[dst]
-// minimum-image displacements; masks 1.0 for real entries.
+// minimum-image displacements; masks 1.0 for real entries. Padding
+// edge_vec rows MUST be nonzero (use (1,0,0)): r=0 NaNs the radial
+// basis and NaN survives the mask multiply.
 
 #include <cstdint>
 #include <cstring>
