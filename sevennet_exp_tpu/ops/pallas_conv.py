@@ -74,12 +74,16 @@ import os as _os
 
 _CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'fullwidth')
 
-_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed')
+# 'cm' = feature-major (column-major) kernels: all per-edge tensors are
+# transposed ONCE in VMEM so every elementwise CG op runs (width, B)
+# with the edge dim on the 128 lanes -- the structural fix for the
+# 25%-lane-use problem of (B, mul)-sliced ops at mul=32/64.
+_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed', 'cm')
 
 
 def set_cg_mode(mode: str):
-    """'terms' | 'fullwidth' | 'fwslim' | 'fwhybrid' | 'fwmixed'.
-    Affects newly built kernels only -- call
+    """'terms' | 'fullwidth' | 'fwslim' | 'fwhybrid' | 'fwmixed' |
+    'cm'. Affects newly built kernels only -- call
     make_fused_conv.cache_clear() to rebuild."""
     global _CG_MODE
     assert mode in ('terms',) + _FW_MODES
@@ -133,6 +137,16 @@ def set_dot_mode(mode: str):
 def _raw_dot(a, b):
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dotT(a, b):
+    """Contract a's FIRST dim with b's first dim: (k, m) x (k, n) ->
+    (m, n). The MXU takes transposed lhs natively, so feature-major
+    kernels never materialize transposed constants."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -636,6 +650,252 @@ def make_fused_conv(
         dh0 = _dot(dpre1, (w1 / math.sqrt(w1.shape[0])).T)
         dpre0 = dh0 * _act_grad(pre0, act_name)
         demb_ref[...] = _dot(dpre0, (w0 / math.sqrt(w0.shape[0])).T)
+
+    # ---- feature-major ('cm') kernels ---------------------------------
+    # Same math, transposed layout: per-edge tensors become (width, B)
+    # with the edge dim on the 128 lanes. One VMEM transpose per input
+    # replaces thousands of quarter-full vregs; MXU dots take the
+    # transposed operand natively (_dotT).
+
+    def _gsum_cm(v, mul, dd1):
+        """Sum the dd1 m-groups of a (mul*dd1, B) product -> (mul, B)
+        via sublane-slice adds (mul is a multiple of 8 in practice)."""
+        acc = v[0:mul, :]
+        for m in range(1, dd1):
+            acc = acc + v[m * mul:(m + 1) * mul, :]
+        return acc
+
+    def _assemble_rows(acc, total, b):
+        """Offset-keyed (rows, B) blocks -> one (total, B) array.
+        Keys must be non-overlapping (one CG path family per input
+        slice); gaps zero-fill."""
+        pieces = []
+        pos = 0
+        for (off, w) in sorted(acc):
+            assert off >= pos, 'overlapping row blocks'
+            if off > pos:
+                pieces.append(jnp.zeros((off - pos, b), jnp.float32))
+            pieces.append(acc[(off, w)])
+            pos = off + w
+        if pos < total:
+            pieces.append(jnp.zeros((total - pos, b), jnp.float32))
+        return (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                else pieces[0])
+
+    def _cg_acc_cm(xgT, shT, fw_refs, p_ins):
+        """CG contraction, feature-major: list of dim3 (mul, B)."""
+        mul = p_ins['mul']
+        xo, so = p_ins['x_off'], p_ins['sh_off']
+        if p_ins['ct'] is not None:
+            dd1, dd3 = p_ins['dim1'], p_ins['dim3']
+            W = mul * dd1
+            XT = xgT[xo:xo + W, :]
+            StT = _dotT(fw_refs[p_ins['ct']][...],
+                        shT[so:so + p_ins['dim2'], :])  # (dd3*W, B)
+            return [
+                _gsum_cm(XT * StT[p * W:(p + 1) * W, :], mul, dd1)
+                for p in range(dd3)
+            ]
+        cache = {}
+        acc = [None] * p_ins['dim3']
+        for (m, n, p, c) in p_ins['nz']:
+            if (m, n) not in cache:
+                cache[(m, n)] = (
+                    xgT[xo + m * mul: xo + (m + 1) * mul, :]
+                    * shT[so + n: so + n + 1, :]
+                )
+            t = cache[(m, n)] * c
+            acc[p] = t if acc[p] is None else acc[p] + t
+        return acc
+
+    def fwd_kernel_cm(xg_ref, sh_ref, emb_ref, ms_ref,
+                      w0_ref, w1_ref, w2_ref, *rest):
+        si2_refs = rest[:n_si2]
+        fw_refs = rest[n_si2:n_si2 + n_fw]
+        out_ref = rest[-1]
+        w_rad, _ = _mlp_forward(
+            emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
+        )
+        w_radT = (w_rad * ms_ref[...]).T        # (w_numel, B)
+        xgT = xg_ref[...].T                     # (d1, B)
+        shT = sh_ref[...].T                     # (f, B)
+        b = xg_ref.shape[0]
+        if agg_d:
+            rows = b // agg_d
+            # lane aggregation: catT (K, B) @ AT (B, B/D) sums each
+            # atom's D edge lanes on the MXU
+            AT = (jax.lax.broadcasted_iota(jnp.int32, (b, rows), 0)
+                  // agg_d
+                  == jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+                  ).astype(jnp.float32)
+        out_blocks = {}
+        for grp in groups:
+            W = si2_refs[grp['path']][...] * grp['alpha']   # (K, mo)
+            mo, oo = grp['mo'], grp['out_off']
+            accw = []
+            for p_ins, _row in grp['ks']:
+                mul, wo = p_ins['mul'], p_ins['w_off']
+                wnT = w_radT[wo:wo + mul, :]
+                acc = _cg_acc_cm(xgT, shT, fw_refs, p_ins)
+                accw.append([
+                    (a if a is not None
+                     else jnp.zeros((mul, b), jnp.float32)) * wnT
+                    for a in acc
+                ])
+            for p in range(grp['dim3']):
+                catT = (jnp.concatenate([aw[p] for aw in accw], axis=0)
+                        if len(accw) > 1 else accw[0][p])   # (K, B)
+                if agg_d:
+                    catT = _dot(catT, AT)
+                out_blocks[(oo + p * mo, mo)] = _dotT(W, catT)
+        out_rows = next(iter(out_blocks.values())).shape[1]
+        out_ref[...] = _assemble_rows(out_blocks, d_out, out_rows).T
+
+    def bwd_kernel_cm(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
+                      w0_ref, w1_ref, w2_ref, *refs):
+        si2_refs = refs[:n_si2]
+        fw_refs = refs[n_si2:n_si2 + n_fw]
+        dxg_ref, dsh_ref, demb_ref = refs[-3:]
+        w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
+        w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
+            emb_ref[...], w0, w1, w2, act_name
+        )
+        ms = ms_ref[...]
+        w_effT = (w_rad * ms).T
+        xgT = xg_ref[...].T
+        shT = sh_ref[...].T
+        gT = g_ref[...].T                       # (d_out, rows)
+        b = xg_ref.shape[0]
+        if agg_d:
+            rows = b // agg_d
+            # expansion: (K, rows) @ E (rows, B) broadcasts node
+            # cotangents back to edge lanes
+            E = (jax.lax.broadcasted_iota(jnp.int32, (rows, b), 1)
+                 // agg_d
+                 == jax.lax.broadcasted_iota(jnp.int32, (rows, b), 0)
+                 ).astype(jnp.float32)
+        dxg_acc = {}       # (x offset, width) -> (width, B)
+        dshT = jnp.zeros((f, b), jnp.float32)
+        dw_eff_cols = {}
+        for grp in groups:
+            W = si2_refs[grp['path']][...] * grp['alpha']   # (K, mo)
+            mo, oo = grp['mo'], grp['out_off']
+            gmcatT = [
+                _raw_dot(W, gT[oo + p * mo: oo + (p + 1) * mo, :])
+                for p in range(grp['dim3'])
+            ]                                   # (K, rows)
+            if agg_d:
+                gmcatT = [_dot(gm, E) for gm in gmcatT]      # (K, B)
+            for p_ins, row in grp['ks']:
+                mul = p_ins['mul']
+                xo, so, wo = (p_ins['x_off'], p_ins['sh_off'],
+                              p_ins['w_off'])
+                wnT = w_effT[wo:wo + mul, :]
+                gwT = [gmcatT[p][row:row + mul, :] * wnT
+                       for p in range(grp['dim3'])]
+                if p_ins['ct'] is not None:
+                    dd1, dd3 = p_ins['dim1'], p_ins['dim3']
+                    Wn = mul * dd1
+                    XT = xgT[xo:xo + Wn, :]
+                    StT = _dotT(fw_refs[p_ins['ct']][...],
+                                shT[so:so + p_ins['dim2'], :])
+                    R2 = _iota_lanegroup(Wn, dd1, mul)       # (Wn, dd1)
+                    dXT = None
+                    dw_acc_fw = None
+                    zs = []
+                    for p in range(dd3):
+                        StT_p = StT[p * Wn:(p + 1) * Wn, :]
+                        T = (jnp.concatenate([gwT[p]] * dd1, axis=0)
+                             if dd1 > 1 else gwT[p])         # (Wn, B)
+                        v = T * StT_p
+                        dXT = v if dXT is None else dXT + v
+                        zs.append(_dotT(R2, T * XT))         # (dd1, B)
+                        acc_p = _gsum_cm(XT * StT_p, mul, dd1)
+                        t = gmcatT[p][row:row + mul, :] * acc_p
+                        dw_acc_fw = (t if dw_acc_fw is None
+                                     else dw_acc_fw + t)
+                    kx = (xo, Wn)
+                    dxg_acc[kx] = (dXT if kx not in dxg_acc
+                                   else dxg_acc[kx] + dXT)
+                    z = jnp.concatenate(zs, axis=0)  # (dd3*dd1, B)
+                    dsh_blk = _dotT(fw_refs[p_ins['ct2']][...], z)
+                    dshT = jax.lax.dynamic_update_slice(
+                        dshT,
+                        jax.lax.dynamic_slice(
+                            dshT, (so, 0), (p_ins['dim2'], b)
+                        ) + dsh_blk,
+                        (so, 0),
+                    )
+                    key = (wo, mul)
+                    dw_eff_cols[key] = (
+                        dw_acc_fw if key not in dw_eff_cols
+                        else dw_eff_cols[key] + dw_acc_fw
+                    )
+                    continue
+                xm_cache = {}
+                xy_cache = {}
+                gxm_cache = {}
+                sacc = {}
+                dw_acc = None
+                nz_by_p = {}
+                for (m, n, p, c) in p_ins['nz']:
+                    nz_by_p.setdefault(p, []).append((m, n, c))
+                for p, terms in nz_by_p.items():
+                    acc_p = None
+                    for (m, n, c) in terms:
+                        if m not in xm_cache:
+                            xm_cache[m] = xgT[
+                                xo + m * mul: xo + (m + 1) * mul, :]
+                        xm = xm_cache[m]
+                        yn = shT[so + n: so + n + 1, :]
+                        kx = (xo + m * mul, mul)
+                        v = gwT[p] * (yn * c)
+                        dxg_acc[kx] = (v if kx not in dxg_acc
+                                       else dxg_acc[kx] + v)
+                        if (m, p) not in gxm_cache:
+                            gxm_cache[(m, p)] = gwT[p] * xm
+                        s = gxm_cache[(m, p)] * c
+                        sacc[n] = s if n not in sacc else sacc[n] + s
+                        if (m, n) not in xy_cache:
+                            xy_cache[(m, n)] = xm * yn
+                        t = xy_cache[(m, n)] * c
+                        acc_p = t if acc_p is None else acc_p + t
+                    if acc_p is not None:
+                        t = gmcatT[p][row:row + mul, :] * acc_p
+                        dw_acc = t if dw_acc is None else dw_acc + t
+                for n, v in sacc.items():
+                    s = jnp.sum(v, axis=0, keepdims=True)    # (1, B)
+                    dshT = jax.lax.dynamic_update_slice(
+                        dshT,
+                        jax.lax.dynamic_slice(dshT, (so + n, 0),
+                                              (1, b)) + s,
+                        (so + n, 0),
+                    )
+                if dw_acc is not None:
+                    key = (wo, mul)
+                    dw_eff_cols[key] = (
+                        dw_acc if key not in dw_eff_cols
+                        else dw_eff_cols[key] + dw_acc
+                    )
+        dxg_ref[...] = _assemble_rows(dxg_acc, d1, b).T
+        dsh_ref[...] = dshT.T
+        pieces = []
+        for p_ins in plan:
+            v = dw_eff_cols.get((p_ins['w_off'], p_ins['mul']))
+            if v is None:
+                v = jnp.zeros((p_ins['mul'], b), jnp.float32)
+            pieces.append(v)
+        dw_eff = jnp.concatenate(pieces, axis=0).T          # (B, wn)
+        dw_rad = dw_eff * ms
+        dh1 = _dot(dw_rad, (w2 / math.sqrt(w2.shape[0])).T)
+        dpre1 = dh1 * _act_grad(pre1, act_name)
+        dh0 = _dot(dpre1, (w1 / math.sqrt(w1.shape[0])).T)
+        dpre0 = dh0 * _act_grad(pre0, act_name)
+        demb_ref[...] = _dot(dpre0, (w0 / math.sqrt(w0.shape[0])).T)
+
+    if _CG_MODE == 'cm':
+        fwd_kernel = fwd_kernel_cm
+        bwd_kernel = bwd_kernel_cm
 
     n_si2 = len(si2_spec.paths)
 

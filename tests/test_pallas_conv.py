@@ -28,7 +28,7 @@ def interpret_mode():
         pallas_conv.make_fused_conv.cache_clear()
 
 
-@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed'])
+@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed', 'cm'])
 def test_fused_conv_matches_xla_model(cg_mode):
     pallas_conv.set_cg_mode(cg_mode)
     pallas_conv.make_fused_conv.cache_clear()
@@ -82,13 +82,16 @@ def test_fused_conv_matches_xla_lmax3():
     )
 
 
-def test_fused_agg_conv_matches_xla_md_engine():
+@pytest.mark.parametrize('cg_mode', ['fullwidth', 'cm'])
+def test_fused_agg_conv_matches_xla_md_engine(cg_mode):
     """Dense neighbor-grid MD path: the in-kernel-aggregated fused conv
     (agg_d > 0 -> node-row output, block-diagonal MXU reduction) must
     match the XLA dense-reduction path for energy AND forces."""
     from samples import rattled_rocksalt
     from sevennet_exp_tpu.md.engine import MolecularDynamics
 
+    pallas_conv.set_cg_mode(cg_mode)
+    pallas_conv.make_fused_conv.cache_clear()
     model = build_e3_equivariant_model(tiny_model_config())
     params, _ = model.init(jax.random.PRNGKey(0))
     at = rattled_rocksalt(reps=3, a=3.2, rattle=0.05, seed=1)  # 216 atoms
