@@ -72,7 +72,7 @@ def set_interpret(flag: bool):
 # pure data movement on the VPU instead of dense dots.
 import os as _os
 
-_CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'fullwidth')
+_CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'cm')
 
 # 'cm' = feature-major (column-major) kernels: all per-edge tensors are
 # transposed ONCE in VMEM so every elementwise CG op runs (width, B)
@@ -665,6 +665,21 @@ def make_fused_conv(
             acc = acc + v[m * mul:(m + 1) * mul, :]
         return acc
 
+    def _pad_rows_cm(v, off, total):
+        """Zero-pad a (rows, B) block to (total, B) at row offset off.
+        Static-shape concat: Mosaic has no dynamic_update_slice, so row
+        accumulation into a fixed-height array is pad + add instead."""
+        b = v.shape[1]
+        pieces = []
+        if off > 0:
+            pieces.append(jnp.zeros((off, b), jnp.float32))
+        pieces.append(v)
+        tail = total - off - v.shape[0]
+        if tail > 0:
+            pieces.append(jnp.zeros((tail, b), jnp.float32))
+        return (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
+                else pieces[0])
+
     def _assemble_rows(acc, total, b):
         """Offset-keyed (rows, B) blocks -> one (total, B) array.
         Keys must be non-overlapping (one CG path family per input
@@ -819,13 +834,7 @@ def make_fused_conv(
                                    else dxg_acc[kx] + dXT)
                     z = jnp.concatenate(zs, axis=0)  # (dd3*dd1, B)
                     dsh_blk = _dotT(fw_refs[p_ins['ct2']][...], z)
-                    dshT = jax.lax.dynamic_update_slice(
-                        dshT,
-                        jax.lax.dynamic_slice(
-                            dshT, (so, 0), (p_ins['dim2'], b)
-                        ) + dsh_blk,
-                        (so, 0),
-                    )
+                    dshT = dshT + _pad_rows_cm(dsh_blk, so, f)
                     key = (wo, mul)
                     dw_eff_cols[key] = (
                         dw_acc_fw if key not in dw_eff_cols
@@ -865,12 +874,7 @@ def make_fused_conv(
                         dw_acc = t if dw_acc is None else dw_acc + t
                 for n, v in sacc.items():
                     s = jnp.sum(v, axis=0, keepdims=True)    # (1, B)
-                    dshT = jax.lax.dynamic_update_slice(
-                        dshT,
-                        jax.lax.dynamic_slice(dshT, (so + n, 0),
-                                              (1, b)) + s,
-                        (so + n, 0),
-                    )
+                    dshT = dshT + _pad_rows_cm(s, so + n, f)
                 if dw_acc is not None:
                     key = (wo, mul)
                     dw_eff_cols[key] = (

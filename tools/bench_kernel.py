@@ -23,6 +23,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sevennet_exp_tpu.util import enable_compile_cache
+    enable_compile_cache()
+
     from sevennet_exp_tpu.model.build import build_e3_equivariant_model
     from sevennet_exp_tpu.model.layers import IrrepsConvolution
     from sevennet_exp_tpu.ops import pallas_conv, pallas_tp
