@@ -95,11 +95,28 @@ def main():
     if pallas_tp.is_enabled():
         md_p = md
         if n_atoms > 20000:  # parity on a 1k instance, same widths
+            # NOTE must be a PROPER small lattice: slicing + wrapping
+            # the big lattice (pos[:1000] % box) overlaps atoms, the
+            # cell-list bins overflow, and on an overflowed list the
+            # edge-list and dense-grid edge sets legitimately diverge
+            # (the engine regrows + retries before running physics on
+            # one) — parity on that garbage geometry is meaningless.
+            p_reps = 5
+            p_fr, p_z = [], []
+            for i in range(p_reps):
+                for j in range(p_reps):
+                    for k in range(p_reps):
+                        for b, z in zip(base, zs):
+                            p_fr.append((b + [i, j, k]) / p_reps)
+                            p_z.append(z)
+            p_cell = np.eye(3) * a * p_reps
+            p_pos = np.array(p_fr) @ p_cell
+            p_pos += np.random.default_rng(1).normal(
+                scale=0.02, size=p_pos.shape)
             md_p = MolecularDynamics(
                 model, params, Atoms(
-                    atomic_numbers=np.array(zlist[:1000]),
-                    pos=pos[:1000] % (a * 5), cell=np.eye(3) * a * 5,
-                    pbc=np.array([True] * 3)),
+                    atomic_numbers=np.array(p_z), pos=p_pos,
+                    cell=p_cell, pbc=np.array([True] * 3)),
                 dt_fs=dt_fs, temperature_K=30.0, ensemble='nvt',
             )
         verlet = md_p._ensure_verlet()

@@ -87,6 +87,11 @@ def cell_list_neighbor_list(
     nbins = nx * ny * nz
     inv_cell = jnp.linalg.inv(cell)
     frac = (pos @ inv_cell) % 1.0
+    # constant-shift distances below require positions INSIDE the
+    # primary cell (MD integrators don't wrap; a rattled/drifted atom
+    # outside the box would be off by a full box length) -- bin and
+    # measure on the wrapped image; only indices leave this function
+    pos = frac @ cell
     gx = jnp.clip((frac[:, 0] * nx).astype(jnp.int32), 0, nx - 1)
     gy = jnp.clip((frac[:, 1] * ny).astype(jnp.int32), 0, ny - 1)
     gz = jnp.clip((frac[:, 2] * nz).astype(jnp.int32), 0, nz - 1)
@@ -103,29 +108,43 @@ def cell_list_neighbor_list(
     bins = bins.at[sorted_bins, rank_c].set(order.astype(jnp.int32))
     counts = jax.ops.segment_sum(jnp.ones(n, jnp.int32), bin_id, nbins)
 
-    # candidate neighbors: atoms in the 27 adjacent bins
-    offs = jnp.array(
-        [(a, b, c) for a in (-1, 0, 1) for b in (-1, 0, 1) for c in (-1, 0, 1)],
-        dtype=jnp.int32,
-    )
-    cand_bx = (gx[:, None] + offs[None, :, 0]) % nx
-    cand_by = (gy[:, None] + offs[None, :, 1]) % ny
-    cand_bz = (gz[:, None] + offs[None, :, 2]) % nz
-    cand_bin = (cand_bx * ny + cand_by) * nz + cand_bz       # (N, 27)
-    cand = bins[cand_bin].reshape(n, 27 * cell_cap)           # (N, 27*cap)
-
+    # candidate positions, bin-table form. Two TPU-specific choices:
+    #  - positions are gathered as per-BIN table rows (three (nbins,
+    #    cap) component planes), then indexed per atom with ROW gathers
+    #    of whole bins -- three per-element (N, 27*cap) scalar gathers
+    #    measured 22.5 ms at 1k atoms vs 4.3 ms for row-structured ones
+    #  - no per-pair minimum-image round(): bins are >= cutoff wide, so
+    #    every candidate's minimum image is exactly the image reached by
+    #    its bin's wrap -- a lattice shift CONSTANT per (atom, offset),
+    #    computed from the unwrapped bin coordinate
     pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
-    # component-wise MIC: a stacked (N, 27*cap, 3) displacement array
-    # would be lane-padded 3 -> 128 by the TPU tiler (42x memory, 47 GB
-    # at 100k atoms); three (N, 27*cap) planes tile cleanly instead
-    d_c = [pos_pad[:, a][cand] - pos[:, a][:, None] for a in range(3)]
-    f_c = [sum(d_c[b] * inv_cell[b, a] for b in range(3))
-           for a in range(3)]
-    f_c = [f - jnp.round(f) for f in f_c]
-    w_c = [sum(f_c[b] * cell[b, a] for b in range(3)) for a in range(3)]
-    d2 = w_c[0] * w_c[0] + w_c[1] * w_c[1] + w_c[2] * w_c[2]
-    ok = (cand < n) & (d2 < cutoff * cutoff)
-    ok = ok & (cand != jnp.arange(n, dtype=jnp.int32)[:, None])
+    xb = [pos_pad[:, a][bins] for a in range(3)]   # (nbins, cap) planes
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    ok_parts, cand_parts = [], []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                rx, ry, rz = gx + ox, gy + oy, gz + oz
+                cb = ((rx % nx) * ny + ry % ny) * nz + rz % nz
+                # floor-div wrap in {-1, 0, 1}: which periodic image of
+                # the neighbor bin this offset reaches
+                wx, wy, wz = rx // nx, ry // ny, rz // nz
+                shift = [
+                    (wx * cell[0, a] + wy * cell[1, a] + wz * cell[2, a]
+                     )[:, None]
+                    for a in range(3)
+                ]
+                cand_o = bins[cb]                       # (N, cap) rows
+                d2_o = 0.0
+                for a in range(3):
+                    da = xb[a][cb] + shift[a] - pos[:, a][:, None]
+                    d2_o = d2_o + da * da
+                ok_o = (cand_o < n) & (d2_o < cutoff * cutoff)
+                ok_o = ok_o & (cand_o != arange_n[:, None])
+                ok_parts.append(ok_o)
+                cand_parts.append(cand_o)
+    ok = jnp.concatenate(ok_parts, axis=1)            # (N, 27*cap)
+    cand = jnp.concatenate(cand_parts, axis=1)
 
     flat = ok.reshape(-1)
     count = jnp.sum(flat)
