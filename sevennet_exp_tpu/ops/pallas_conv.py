@@ -998,4 +998,10 @@ def make_fused_conv(
                 (xg, sh, emb, ms, mlp_ws, si2_ws))
 
     fused.defvjp(fused_fwd, bwd_call)
+    # raw entries for callers that orchestrate their own VJP (the
+    # packed-chunked conv path wraps gather+unpack+kernel in ONE
+    # custom_vjp so remat never recomputes the kernel forward --
+    # bwd_only(res=(xg, sh, emb, ms, mlp_ws, si2_ws), g) -> cotangents)
+    fused.fwd_only = fwd_call
+    fused.bwd_only = bwd_call
     return fused, d_out

@@ -197,6 +197,55 @@ def test_conv_chunked_matches_whole(md_setup):
                                atol=2e-5)
 
 
+def test_conv_chunked_fused_piece_matches_whole(md_setup, monkeypatch):
+    """The packed-chunked path's single-custom_vjp fused piece (gather +
+    unpack + kernel, no kernel-forward remat) must reproduce the plain
+    XLA whole-array E/F. Asserts the fused piece actually engaged."""
+    from sevennet_exp_tpu.model import layers as layers_mod
+    from sevennet_exp_tpu.ops import pallas_conv, pallas_tp
+
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=300.0,
+        ensemble='nvt', rebuild_every=5, seed=0,
+    )
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    calls = {'n': 0}
+    orig = pallas_conv.make_fused_conv
+
+    def counting(*a, **kw):
+        calls['n'] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pallas_conv, 'make_fused_conv', counting)
+    monkeypatch.setattr(layers_mod.pallas_conv, 'make_fused_conv',
+                        counting)
+    pallas_tp.enable(True)
+    if jax.default_backend() == 'cpu':
+        pallas_conv.set_interpret(True)
+        pallas_tp.set_interpret(True)
+    try:
+        md_c = MolecularDynamics(
+            model, params, at, dt_fs=1.0, temperature_K=300.0,
+            ensemble='nvt', rebuild_every=5, seed=0,
+            conv_chunk_atoms=16,
+        )
+        assert md_c.conv_chunk_rows > 0
+        nl_c = md_c._compact_nl(md_c._build_nl(md_c.state.pos),
+                                md_c.state.pos)
+        e_c, f_c = md_c._ef_fn(md.state.pos, nl_c)
+    finally:
+        pallas_tp.enable(False)
+        pallas_conv.set_interpret(False)
+        pallas_tp.set_interpret(False)
+    assert calls['n'] > 0, 'fused piece never engaged'
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
+                               atol=2e-5)
+
+
 def test_npt_berendsen(md_setup):
     """NPT (Nose-Hoover thermostat + Berendsen barostat over the
     strain-gradient virial): runs stably, reports volume, and the
