@@ -787,10 +787,23 @@ class MolecularDynamics:
                     f'{t3 - t2:.3f}s', flush=True,
                 )
         t_f0 = time.perf_counter()
+        # ONE device->host transfer for all metrics: each np.asarray of
+        # a device scalar is its own relay round trip (~25 ms on the
+        # tunneled backend; 6-8 keys x n_outer rows added ~0.17 s per
+        # dispatch at 100k) -- stack every scalar into a single flat
+        # device vector and fetch once
+        keys = list(rows[0])
+        flat = np.asarray(jnp.stack(
+            [jnp.asarray(r[kk], jnp.float32) for r in rows
+             for kk in keys]
+        )).reshape(len(rows), len(keys))
         metrics = {
-            kk: np.asarray([np.asarray(r[kk]) for r in rows])
-            for kk in rows[0]
+            kk: flat[:, j].astype(np.float64)
+            for j, kk in enumerate(keys)
         }
+        for kk in ('overflow', 'overflow_deg', 'overflow_bin'):
+            if kk in metrics:
+                metrics[kk] = metrics[kk] > 0.5
         if trace:
             print(f'[dispatch] metric fetch '
                   f'{time.perf_counter() - t_f0:.3f}s', flush=True)
