@@ -10,6 +10,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -62,26 +63,34 @@ def main():
     )
     n_atoms = len(atoms)
 
-    config = sevennet_0_config(species=['Na', 'Cl'])
-    # tiny output scale: with RANDOM weights the raw PES is unphysical
-    # and restructures the crystal (degree spikes, cadence collapse);
-    # scaling the predicted energies down keeps the trajectory a
-    # physical solid at identical per-step compute, so the bench
-    # reflects a trained potential's neighbor statistics
-    config['shift'] = 0.0
-    config['scale'] = 0.01
-    model = build_e3_equivariant_model(config)
-    params, _ = model.init(jax.random.PRNGKey(0))
+    # Preferred potential: the committed NaCl 7net-0 checkpoint trained
+    # on classical-ground-truth data (trained_nacl/, VERDICT r2 #6) --
+    # its PES keeps the 300 K rocksalt solid stable, so the bench
+    # measures physical forces and honest thermal neighbor statistics.
+    # Fallback (checkpoint absent): random weights with a tiny output
+    # scale at 30 K -- at 300 K a random PES restructures the crystal
+    # (degree spikes to ~52 vs 26 avg, cadence collapse), which no
+    # trained potential shows in a solid.
+    cp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'trained_nacl', 'checkpoint_best.pth.sevennet',
+    )
+    if os.path.exists(cp_path):
+        from sevennet_exp_tpu.checkpoint import SevenNetCheckpoint
+        model, params = SevenNetCheckpoint(cp_path).build_model()
+        temperature = 300.0
+        potential = 'trained_nacl'
+    else:
+        config = sevennet_0_config(species=['Na', 'Cl'])
+        config['shift'] = 0.0
+        config['scale'] = 0.01
+        model = build_e3_equivariant_model(config)
+        params, _ = model.init(jax.random.PRNGKey(0))
+        temperature = 30.0
+        potential = 'random'
 
-    # NOTE low temperature on purpose: the bench model carries RANDOM
-    # weights, and at 300 K its unphysical PES makes atoms cluster --
-    # max neighbor degree spikes to ~52 (vs 26 avg) and the staleness
-    # guard drops the rebuild cadence to 5, neither of which a trained
-    # potential exhibits in a solid. 30 K keeps the trajectory at
-    # solid-state neighbor statistics, so the number measures the
-    # engine's honest steady-state throughput.
     md = MolecularDynamics(
-        model, params, atoms, dt_fs=dt_fs, temperature_K=30.0,
+        model, params, atoms, dt_fs=dt_fs, temperature_K=temperature,
         ensemble='nvt', rebuild_every=20, seed=0,
     )
 
@@ -153,6 +162,10 @@ def main():
         'value': round(ns_day, 3),
         'unit': 'ns/day',
         'vs_baseline': round(ns_day / 50.0, 4),
+        'potential': potential,
+        'temperature_K': temperature,
+        'deg_cap': md.deg_cap,
+        'rebuild_every': md.rebuild_every,
     }
     if parity is not None:
         out['pallas_max_dF'] = round(parity, 6)

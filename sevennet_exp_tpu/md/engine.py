@@ -153,10 +153,23 @@ class MolecularDynamics:
         # blow HBM; scan the conv in chunks with remat instead
         # (layers.py CONV_CHUNK_ROWS path). None = auto threshold.
         self.conv_chunk_atoms = conv_chunk_atoms
-        self.cell_cap = int(np.ceil(
-            density * np.prod(self._cell_widths(np.asarray(atoms.cell))
-                              / np.asarray(self.grid)) * 2.5 + 8
-        )) if self.use_cell_list else 0
+        if self.use_cell_list:
+            # measured-max bin occupancy at t=0 (not a uniform-density
+            # estimate x2.5: in a solid the max is near the mean, and
+            # every extra slot multiplies the candidate count the
+            # builder filters/compacts -- 27*cap per atom). 30% +4
+            # thermal margin; overflow_bin during the run regrows.
+            frac = (np.asarray(atoms.pos, np.float64)
+                    @ np.linalg.inv(np.asarray(atoms.cell,
+                                               np.float64))) % 1.0
+            g = np.asarray(self.grid)
+            b = np.minimum((frac * g).astype(np.int64), g - 1)
+            bid = (b[:, 0] * g[1] + b[:, 1]) * g[2] + b[:, 2]
+            max_occ = int(np.bincount(
+                bid, minlength=int(np.prod(g))).max())
+            self.cell_cap = int(np.ceil(max_occ * 1.3 + 4))
+        else:
+            self.cell_cap = 0
 
         # NPT (Berendsen barostat over the strain-gradient virial):
         # target pressure in eV/A^3; the cell lives in MDState and
