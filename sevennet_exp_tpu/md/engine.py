@@ -835,7 +835,17 @@ class MolecularDynamics:
         state, verlet, metrics = chunk(
             self.state, self._ensure_verlet(), n_outer, k
         )
-        metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        # one device->host transfer for all metric vectors (per-key
+        # np.asarray pays a ~25 ms relay round trip each on the tunnel)
+        keys = list(metrics)
+        flat = np.asarray(jnp.stack(
+            [jnp.asarray(metrics[kk], jnp.float32) for kk in keys]
+        ))
+        metrics = {kk: flat[j].astype(np.float64)
+                   for j, kk in enumerate(keys)}
+        for kk in ('overflow', 'overflow_deg', 'overflow_bin'):
+            if kk in metrics:
+                metrics[kk] = metrics[kk] > 0.5
         out = self._postprocess_dispatch(state, metrics, n_outer, log)
         if out is not None:
             self._verlet = verlet
