@@ -145,10 +145,18 @@ def main():
 
     # warmup with the SAME call signature as the measured run: n_outer/k
     # are static jit args, so a different warmup step count would leave
-    # the measured call to pay the XLA compile
+    # the measured call to pay the XLA compile. Warm until capacities
+    # AND cadence are stable across a full block -- a cap regrowth or
+    # cadence move inside the measured window costs a fresh ~30-60 s
+    # XLA compile on the tunneled backend and wrecks the number.
     n_steps = 200
-    md.run(n_steps)
-    jax.block_until_ready(md.state.pos)
+    for _ in range(6):
+        sig = (md.e_cap, md.deg_cap, md.cell_cap, md.rebuild_every)
+        md.run(n_steps)
+        jax.block_until_ready(md.state.pos)
+        if (md.e_cap, md.deg_cap, md.cell_cap,
+                md.rebuild_every) == sig:
+            break
 
     t0 = time.perf_counter()
     md.run(n_steps)

@@ -9,4 +9,19 @@ CUDA/MPI.
 
 __version__ = '0.1.0'
 
+import os as _os
+
+import jax as _jax
+
+# fp32 matmuls by default: TPU MXU matmuls run bfloat16-input passes
+# unless told otherwise, and that is NOT precision noise for a trained
+# potential -- measured on the NaCl flagship checkpoint, bf16 linears
+# inflate force RMSE vs ground truth 35x (0.056 vs 0.0016 eV/A; the
+# reference torch/e3nn stack is fp32 throughout, and BASELINE.md's
+# contract is forces within 1e-4 of it). Set
+# SEVENNET_MATMUL_PRECISION=default to opt back out.
+_prec = _os.environ.get('SEVENNET_MATMUL_PRECISION', 'float32')
+if _prec != 'default':
+    _jax.config.update('jax_default_matmul_precision', _prec)
+
 from . import _keys  # noqa: F401

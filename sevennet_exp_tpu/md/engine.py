@@ -851,6 +851,19 @@ class MolecularDynamics:
             self._verlet = verlet
         return out
 
+    def _cadence_ladder(self):
+        """Allowed rebuild cadences: a short geometric-ish ladder up to
+        the configured value. Each distinct k compiles its own chunk
+        program (~30-60 s over the tunneled backend), so adaptive
+        cadence must move on a bounded set, not arbitrary integers."""
+        k0 = self._rebuild_every0
+        base = [1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 25, 32, 40, 50]
+        return sorted({k for k in base if k < k0} | {k0})
+
+    def _snap_cadence(self, k: int) -> int:
+        downs = [v for v in self._cadence_ladder() if v <= max(1, k)]
+        return downs[-1] if downs else 1
+
     def _postprocess_dispatch(self, state, metrics, n_outer: int,
                               log=None):
         grew = False
@@ -880,17 +893,21 @@ class MolecularDynamics:
             # the threshold (each halving costs a fresh chunk compile,
             # so converge in one adjustment instead of several)
             k_new = max(1, int(self.rebuild_every * 0.7 * bound / worst))
-            self.rebuild_every = min(k_new, max(1, self.rebuild_every - 1))
+            self.rebuild_every = self._snap_cadence(
+                min(k_new, max(1, self.rebuild_every - 1)))
             return None
-        if (worst < 0.5 * bound
+        if (worst < 0.35 * bound
                 and self.rebuild_every < self._rebuild_every0):
             # cadence recovery: a hot unequilibrated start can shrink
-            # the cadence; once displacements settle, walk it back up
-            # (the jit cache keeps one program per k, so recovery costs
-            # at most a few compiles per run)
-            self.rebuild_every = min(
-                self._rebuild_every0, self.rebuild_every + 2
-            )
+            # the cadence; once displacements settle comfortably (0.35x
+            # hysteresis so recovery doesn't oscillate with the staleness
+            # trigger), step up ONE ladder notch. Every k is a separate
+            # XLA program (static scan length): the ladder bounds the
+            # program count; revisits hit the jit/persistent cache.
+            ladder = self._cadence_ladder()
+            ups = [k for k in ladder if k > self.rebuild_every]
+            if ups:
+                self.rebuild_every = ups[0]
         self.state = state
         if self.ensemble == 'npt' and self.use_cell_list:
             # the bin grid is compile-time static; if the barostat
