@@ -134,10 +134,28 @@ def set_dot_mode(mode: str):
     _DOT_MODE = mode
 
 
+# in-kernel dot precision, decoupled from jax_default_matmul_precision
+# (the package defaults THAT to float32 for the XLA-side linears):
+# 'highest' = true fp32 multi-pass MXU; 'default' = fast bf16-input
+# single pass. Measured on the trained NaCl flagship vs analytic
+# ground truth: bf16 kernel dots cost 0.00157 -> 0.00166 eV/A force
+# RMSE (the dots contract small structural/weight operands into fp32
+# accumulators) while fp32 kernel dots cost 2.3x the step time -- the
+# accuracy lives in the XLA-side linears, the speed in the kernel.
+_DOT_PRECISION = _os.environ.get('SEVENNET_CONV_DOT_PRECISION',
+                                 'default')
+
+
+def _dot_precision():
+    return (jax.lax.Precision.DEFAULT if _DOT_PRECISION == 'default'
+            else jax.lax.Precision.HIGHEST)
+
+
 def _raw_dot(a, b):
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(),
     )
 
 
@@ -148,6 +166,7 @@ def _dotT(a, b):
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(),
     )
 
 
