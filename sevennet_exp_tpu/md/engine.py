@@ -50,7 +50,14 @@ class MolecularDynamics:
         ensemble: str = 'nvt',
         friction_per_fs: float = 0.002,
         tdamp_fs: Optional[float] = None,
-        skin: float = 1.0,
+        # LAMMPS-default 2.0 A skin. The two-tier thresholds must NOT
+        # coincide: the Verlet reuse bound is (skin - md_buffer)/2 and
+        # the grid staleness bound is md_buffer/2 -- with skin 1.0 and
+        # buffer 0.5 both were 0.25 A, so every compact ALSO paid the
+        # full cell-list build. At 2.0 the Verlet bound is 0.75 A,
+        # which solid-state vibration never crosses: builds fire only
+        # on real diffusion, compaction stays the per-cadence cost.
+        skin: float = 2.0,
         rebuild_every: int = 10,
         seed: int = 0,
         dtype=jnp.float32,
@@ -90,15 +97,18 @@ class MolecularDynamics:
             np.asarray(atomic_masses)[atoms.atomic_numbers], dtype=dtype
         )
         self.cutoff = float(model.cutoff)
-        self.skin = skin
-        self.build_cutoff = self.cutoff + skin
+        # clamp the skin for small boxes: minimum-image needs widths
+        # >= 2*(cutoff + skin); shrink the reuse margin before refusing
+        widths = self._cell_widths(np.asarray(atoms.cell))
+        max_skin = float(widths.min()) / 2.0 - self.cutoff - 1e-6
+        self.skin = min(skin, max(0.25, max_skin))
+        self.build_cutoff = self.cutoff + self.skin
         self.rebuild_every = rebuild_every
         self._rebuild_every0 = rebuild_every
         self.dt = dt_fs * FS
         self.temperature_K = temperature_K
         self.ensemble = ensemble
 
-        widths = self._cell_widths(np.asarray(atoms.cell))
         if np.any(widths < 2 * self.build_cutoff):
             raise ValueError(
                 'cell too small for minimum-image MD; '
@@ -113,7 +123,7 @@ class MolecularDynamics:
         # volume ratio; the chunk staleness check tightens to buffer/2 so
         # no pair can cross into the cutoff undetected (cf. the
         # reference's nedges*1.2 amortization, pair_e3gnn.cpp:267-273).
-        self.md_buffer = min(0.5, skin)
+        self.md_buffer = min(0.5, self.skin)
         # measured-count capacity sizing: a uniform-density estimate
         # overshoots ordered structures by up to ~70% (every extra slot
         # multiplies every per-edge cost in the step). Count the true
@@ -418,7 +428,10 @@ class MolecularDynamics:
         if self.conv_chunk_atoms:
             rows = self.conv_chunk_atoms * self.deg_cap
         elif self.e_cap_model > 524288:
-            rows = 32768
+            # measured on v5e at 97k atoms: 32768-row chunks pay ~4%
+            # in scan-iteration overhead vs 131072; beyond that is flat
+            # while per-chunk transient memory keeps growing
+            rows = 131072
         else:
             return 0
         return max(unit, rows // unit * unit)

@@ -403,16 +403,24 @@ class IrrepsConvolution:
                     params, xg, sh_c, emb_c, scale_c, dd
                 )
 
-            fused_piece = None
-            if self._fused_eligible(chunk_rows, dd):
-                # one custom_vjp over gather + unpack + kernel: plain
-                # jax.checkpoint would recompute the kernel FORWARD in
-                # the backward pass even though the kernel's own VJP
-                # only needs its inputs -- here the backward recomputes
-                # just the cheap prefix (gather + unpack, from the
-                # already-resident packed block) and runs the bwd
-                # kernel directly. At 100k atoms this removes ~0.6 s of
-                # wasted kernel-forward recompute per force call.
+            full = rows - rem
+            fused_ok = (
+                self._fused_eligible(chunk_rows, dd)
+                and (rem == 0 or self._fused_eligible(rem, dd))
+                and rev is not None
+            )
+            if fused_ok:
+                # one custom_vjp over the WHOLE chunk scan (gather +
+                # unpack + kernel). Two wins over jax.checkpoint around
+                # each chunk:
+                #  - no kernel-FORWARD recompute in the backward (the
+                #    kernel's VJP only needs its inputs; the backward
+                #    recomputes just the cheap gather+unpack prefix)
+                #  - scatter-free x cotangent: per-chunk dxg rides out
+                #    of the backward scan as a stacked (E, d1) buffer
+                #    and ONE global rev-gather reshape-reduction
+                #    replaces n_chunks scatter-adds into (and full-size
+                #    accumulations of) (N, d1) cotangents
                 mlp_ws = tuple(
                     params['weight_nn'][f'w{i}'].astype(x.dtype)
                     for i in range(len(self.weight_nn.hs) - 1)
@@ -425,12 +433,7 @@ class IrrepsConvolution:
                     self.tp, self.weight_nn, self.si2, agg_d=dd
                 )
 
-                # NOTE src_c/mask_c are chunk slices created inside the
-                # scan body: they MUST be explicit custom_vjp arguments
-                # (a closure over body-local tracers escapes its trace
-                # when the bwd rule runs under the scan transpose)
-                @jax.custom_vjp
-                def fused_piece(x, src_c, packed_c, mask_c):
+                def chunk_fwd(x, src_c, packed_c, mask_c):
                     xg, sh_c, emb_c, scale_c = unpack_chunk(
                         x, src_c, packed_c, mask_c
                     )
@@ -438,52 +441,107 @@ class IrrepsConvolution:
                         xg, sh_c, emb_c, scale_c, mlp_ws, si2_ws
                     )
 
-                def p_fwd(x, src_c, packed_c, mask_c):
-                    return (fused_piece(x, src_c, packed_c, mask_c),
-                            (x, src_c, packed_c, mask_c))
-
-                def p_bwd(res, g):
-                    x, src_c, packed_c, mask_c = res
+                def chunk_bwd(x, src_c, packed_c, mask_c, g_c):
                     xg, sh_c, emb_c, scale_c = unpack_chunk(
                         x, src_c, packed_c, mask_c
                     )
                     dxg, dsh, demb = fused.bwd_only(
                         (xg, sh_c, emb_c, scale_c, mlp_ws, si2_ws),
-                        g,
+                        g_c,
                     )[:3]
-                    dx = jnp.zeros_like(x).at[src_c].add(dxg)
                     dfeat = jnp.concatenate([demb, dsh], axis=1)
-                    dpacked = pack_cols(
+                    dpk = pack_cols(
                         [dfeat[:, i] for i in range(n_emb + n_sh)],
                         pg,
                     )
-                    return (dx,
-                            np.zeros(src_c.shape, jax.dtypes.float0),
-                            dpacked, jnp.zeros_like(mask_c))
+                    return dxg, dpk
 
-                fused_piece.defvjp(p_fwd, p_bwd)
+                @jax.custom_vjp
+                def conv_scan(x, packed):
+                    def body(_, i):
+                        sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                            a, i * k, k
+                        )
+                        return None, chunk_fwd(
+                            x, sl(edge_src, chunk_rows),
+                            sl(packed, chunk_rows // pg),
+                            sl(mask1d, chunk_rows),
+                        )
 
-            def body(_, i):
-                sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
-                    a, i * k, k
+                    _, ys = jax.lax.scan(
+                        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+                    )
+                    o = ys.reshape((-1,) + ys.shape[2:])
+                    if rem:
+                        o = jnp.concatenate([
+                            o,
+                            chunk_fwd(x, edge_src[full:],
+                                      packed[full // pg:],
+                                      mask1d[full:]),
+                        ])
+                    return o
+
+                def cs_fwd(x, packed):
+                    return conv_scan(x, packed), (x, packed)
+
+                def cs_bwd(res, g):
+                    x, packed = res
+
+                    def body(_, i):
+                        sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                            a, i * k, k
+                        )
+                        return None, chunk_bwd(
+                            x, sl(edge_src, chunk_rows),
+                            sl(packed, chunk_rows // pg),
+                            sl(mask1d, chunk_rows),
+                            sl(g, chunk_rows // dd),
+                        )
+
+                    _, (dxgs, dpks) = jax.lax.scan(
+                        body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+                    )
+                    dxg = dxgs.reshape(-1, dxgs.shape[-1])
+                    dpacked = dpks.reshape(-1, dpks.shape[-1])
+                    if rem:
+                        dxg_r, dpk_r = chunk_bwd(
+                            x, edge_src[full:], packed[full // pg:],
+                            mask1d[full:], g[full // dd:],
+                        )
+                        dxg = jnp.concatenate([dxg, dxg_r])
+                        dpacked = jnp.concatenate([dpacked, dpk_r])
+                    # dx[v] = sum_{e: src[e]=v} dxg[e]
+                    #       = sum over v's grid rows of dxg[rev]
+                    # (symmetric dst-sorted list; pad rows are masked
+                    # self-edges with zero dxg)
+                    dxr = dxg[rev]
+                    dx = dxr.reshape(rows // dd, dd,
+                                     dxr.shape[-1]).sum(axis=1)
+                    return dx[:x.shape[0]], dpacked
+
+                conv_scan.defvjp(cs_fwd, cs_bwd)
+                out = conv_scan(x, packed)
+            else:
+                def body(_, i):
+                    sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                        a, i * k, k
+                    )
+                    return None, piece(
+                        x, sl(edge_src, chunk_rows),
+                        sl(packed, chunk_rows // pg),
+                        sl(mask1d, chunk_rows),
+                    )
+
+                _, out = jax.lax.scan(
+                    body, None, jnp.arange(n_chunks, dtype=jnp.int32),
                 )
-                fn = fused_piece if fused_piece is not None else piece
-                return None, fn(
-                    x, sl(edge_src, chunk_rows),
-                    sl(packed, chunk_rows // pg), sl(mask1d, chunk_rows),
-                )
-
-            full = rows - rem
-            _, out = jax.lax.scan(
-                body, None, jnp.arange(n_chunks, dtype=jnp.int32),
-            )
-            out = out.reshape((-1,) + out.shape[2:])
-            if rem:
-                out = jnp.concatenate([
-                    out,
-                    piece(x, edge_src[full:],
-                          packed[full // pg:], mask1d[full:]),
-                ])
+                out = out.reshape((-1,) + out.shape[2:])
+                if rem:
+                    out = jnp.concatenate([
+                        out,
+                        piece(x, edge_src[full:],
+                              packed[full // pg:], mask1d[full:]),
+                    ])
             out = out[:x.shape[0]]
             if self.si2 is None:
                 data[self.key_x] = out
