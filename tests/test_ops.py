@@ -117,3 +117,14 @@ def test_sh_zero_vector_safe():
     v = jnp.zeros((2, 3))
     out = np.asarray(spherical_harmonics(2, v, True, 'component'))
     assert np.isfinite(out).all()
+
+
+def test_package_pins_fp32_matmul_precision():
+    """Importing the package must pin fp32 matmuls: TPU's default
+    bf16-input MXU passes inflate trained-potential force RMSE 35x
+    (tools/accuracy_probe.py; BENCH_NOTES round 3)."""
+    import jax
+
+    import sevennet_exp_tpu  # noqa: F401
+
+    assert jax.config.jax_default_matmul_precision == 'float32'
