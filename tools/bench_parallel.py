@@ -37,7 +37,10 @@ def main():
     from sevennet_exp_tpu.md.engine import MolecularDynamics
     from sevennet_exp_tpu.parallel.mdbrick import BrickMolecularDynamics
 
-    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # NOTE on the dev rig (virtual CPU devices) the flagship model
+    # compiles for MINUTES per engine at >=4k atoms; 1k is the largest
+    # size that turns around quickly. Pod runs use the real sizes.
+    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     mesh = (tuple(int(v) for v in sys.argv[2].split(','))
             if len(sys.argv) > 2 else (2, 2, 2))
     n_dev = int(np.prod(mesh))
@@ -71,7 +74,26 @@ def main():
     cp = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'trained_nacl',
         'checkpoint_best.pth.sevennet')
-    if os.path.exists(cp):
+    if '--tiny' in sys.argv:
+        # rig-smoke mode: the flagship's 8-device CPU compile is so
+        # slow that XLA's 40 s collective rendezvous can time out
+        # under compile contention; the tiny config exercises the
+        # same engine/comm structure in seconds
+        import jax.numpy as jnp
+
+        from sevennet_exp_tpu.model.build import (
+            build_e3_equivariant_model,
+        )
+        from sevennet_exp_tpu.presets import sevennet_0_config
+        cfg = sevennet_0_config(species=['Na', 'Cl'])
+        cfg['irreps_manual'] = ['8x0e', '8x0e+4x1e', '8x0e+4x1e',
+                                '8x0e']
+        cfg['num_convolution_layer'] = 3
+        cfg['lmax'] = 1
+        cfg['shift'], cfg['scale'] = 0.0, 0.01
+        model = build_e3_equivariant_model(cfg)
+        params, _ = model.init(jax.random.PRNGKey(0))
+    elif os.path.exists(cp):
         model, params = SevenNetCheckpoint(cp).build_model()
     else:
         from sevennet_exp_tpu.model.build import (
@@ -86,11 +108,12 @@ def main():
     n_steps = 40
 
     def run(md, label):
+        pos_ref = lambda: getattr(md, 'state', md).pos
         md.run(n_steps)                      # compile + settle caps
-        jax.block_until_ready(md.state.pos)
+        jax.block_until_ready(pos_ref())
         t0 = time.perf_counter()
         md.run(n_steps)
-        jax.block_until_ready(md.state.pos)
+        jax.block_until_ready(pos_ref())
         dt = (time.perf_counter() - t0) / n_steps
         ns_day = 2.0 * 1e-6 * 86400.0 / dt
         print(f'{label:22s}: {dt * 1e3:9.2f} ms/step '
