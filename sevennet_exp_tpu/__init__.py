@@ -20,7 +20,17 @@ import jax as _jax
 # reference torch/e3nn stack is fp32 throughout, and BASELINE.md's
 # contract is forces within 1e-4 of it). Set
 # SEVENNET_MATMUL_PRECISION=default to opt back out.
+# NOTE: this mutates process-global JAX config -- other JAX code in the
+# same process inherits fp32 matmuls (documented in README "Precision").
+_VALID_PRECISIONS = ('default', 'float32', 'highest', 'bfloat16',
+                     'tensorfloat32', 'bfloat16_3x')
 _prec = _os.environ.get('SEVENNET_MATMUL_PRECISION', 'float32')
+if _prec not in _VALID_PRECISIONS:
+    import warnings as _warnings
+    _warnings.warn(
+        f'SEVENNET_MATMUL_PRECISION={_prec!r} is not one of '
+        f'{_VALID_PRECISIONS}; falling back to float32')
+    _prec = 'float32'
 if _prec != 'default':
     _jax.config.update('jax_default_matmul_precision', _prec)
 

@@ -819,14 +819,24 @@ class MolecularDynamics:
         # dispatch at 100k) -- stack every scalar into a single flat
         # device vector and fetch once
         keys = list(rows[0])
-        flat = np.asarray(jnp.stack(
-            [jnp.asarray(r[kk], jnp.float32) for r in rows
-             for kk in keys]
-        )).reshape(len(rows), len(keys))
-        metrics = {
-            kk: flat[:, j].astype(np.float64)
-            for j, kk in enumerate(keys)
-        }
+        # one stacked fetch PER DTYPE GROUP: casting everything through
+        # float32 would silently round f64 energies or >2^24 integer
+        # counters, so each metric keeps its own dtype (still O(1)
+        # round trips -- engines emit at most 2-3 distinct dtypes)
+        by_dtype = {}
+        for kk in keys:
+            dt = jnp.asarray(rows[0][kk]).dtype
+            by_dtype.setdefault(('bool' if dt == jnp.bool_ else str(dt)),
+                                []).append(kk)
+        metrics = {}
+        for dt_name, group in by_dtype.items():
+            cast = jnp.float32 if dt_name == 'bool' else None
+            flat = np.asarray(jnp.stack(
+                [jnp.asarray(r[kk], cast) if cast else jnp.asarray(r[kk])
+                 for r in rows for kk in group]
+            )).reshape(len(rows), len(group))
+            for j, kk in enumerate(group):
+                metrics[kk] = flat[:, j].astype(np.float64)
         for kk in ('overflow', 'overflow_deg', 'overflow_bin'):
             if kk in metrics:
                 metrics[kk] = metrics[kk] > 0.5

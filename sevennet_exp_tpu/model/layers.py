@@ -421,12 +421,21 @@ class IrrepsConvolution:
                 #    and ONE global rev-gather reshape-reduction
                 #    replaces n_chunks scatter-adds into (and full-size
                 #    accumulations of) (N, d1) cotangents
+                # CONTRACT: the packed/chunked fused path is
+                # inference/forces-only -- conv_scan's custom_vjp
+                # returns cotangents for (x, packed) alone, so the
+                # closed-over weights get NO parameter gradient.
+                # stop_gradient makes that explicit (training uses the
+                # XLA path; train_denominator likewise never reaches
+                # here).
                 mlp_ws = tuple(
-                    params['weight_nn'][f'w{i}'].astype(x.dtype)
+                    jax.lax.stop_gradient(
+                        params['weight_nn'][f'w{i}'].astype(x.dtype))
                     for i in range(len(self.weight_nn.hs) - 1)
                 )
                 si2_ws = tuple(
-                    params['si2'][f'w{n}'].astype(x.dtype)
+                    jax.lax.stop_gradient(
+                        params['si2'][f'w{n}'].astype(x.dtype))
                     for n in range(len(self.si2.paths))
                 )
                 fused, _ = pallas_conv.make_fused_conv(
