@@ -249,6 +249,10 @@ class SevenNetCheckpoint:
     (.pth) checkpoints transparently."""
 
     def __init__(self, checkpoint_path: str):
+        # accepts pretrained keywords ('7net-0', '7net-0-nacl-demo', ...)
+        # as well as paths (reference util.py:188-207 surface)
+        from .util import resolve_checkpoint
+        checkpoint_path = resolve_checkpoint(checkpoint_path)
         self.checkpoint_path = os.path.abspath(checkpoint_path)
         self._loaded = False
         self._config: Optional[Dict] = None

@@ -81,3 +81,92 @@ def enable_compile_cache(min_compile_secs: float = 5.0) -> str:
     except Exception:
         pass
     return cache
+
+
+# -- pretrained-name resolution ---------------------------------------------
+
+# canonical name -> relative checkpoint path, looked up under each root
+# in SEVENNET_CHECKPOINT_DIR (colon-separated), then the repo root (for
+# the committed demo potential). Mirrors the keyword surface of the
+# reference (sevenn/util.py:188-207, sevenn/_const.py:50-59); unlike
+# the reference this repo ships no pretrained weights, so the known
+# names resolve against user-provided checkpoint directories.
+_PRETRAINED_ALIASES = {
+    '7net-0': 'sevennet-0_11jul2024',
+    'sevennet-0': 'sevennet-0_11jul2024',
+    '7net-0_11jul2024': 'sevennet-0_11jul2024',
+    '7net-0_11july2024': 'sevennet-0_11jul2024',
+    'sevennet-0_11july2024': 'sevennet-0_11jul2024',
+    '7net-0_22may2024': 'sevennet-0_22may2024',
+    'sevennet-0_22may2024': 'sevennet-0_22may2024',
+    '7net-l3i5': 'sevennet-l3i5',
+    'sevennet-l3i5': 'sevennet-l3i5',
+    # in-repo demo flagship (trained on the analytic NaCl ground truth)
+    '7net-0-nacl-demo': 'nacl-demo',
+    'sevennet-0-nacl-demo': 'nacl-demo',
+}
+
+_PRETRAINED_FILES = {
+    'sevennet-0_11jul2024': (
+        'SevenNet_0__11Jul2024/checkpoint_sevennet_0.pth',
+        'sevennet-0_11jul2024.pth',
+    ),
+    'sevennet-0_22may2024': (
+        'SevenNet_0__22May2024/checkpoint_sevennet_0.pth',
+        'sevennet-0_22may2024.pth',
+    ),
+    'sevennet-l3i5': (
+        'SevenNet_l3i5/checkpoint_l3i5.pth',
+        'sevennet-l3i5.pth',
+    ),
+    'nacl-demo': (
+        'trained_nacl/checkpoint_best.pth.sevennet',
+    ),
+}
+
+
+def pretrained_name_to_path(name: str) -> str:
+    """Resolve a pretrained-potential keyword ('7net-0', '7net-l3i5',
+    '7net-0-nacl-demo', ...) to a checkpoint path.
+
+    Search roots, in order: each entry of $SEVENNET_CHECKPOINT_DIR
+    (colon-separated), ~/.cache/sevennet_exp_tpu, and the repo root
+    (which carries the committed demo potential). Raises ValueError
+    with the known-name list when the keyword is unknown, and
+    FileNotFoundError with the searched paths when no file exists.
+    """
+    canonical = _PRETRAINED_ALIASES.get(name.lower())
+    if canonical is None:
+        known = sorted(set(_PRETRAINED_ALIASES))
+        raise ValueError(
+            f'unknown pretrained potential {name!r}; known keywords: '
+            f'{", ".join(known)}'
+        )
+    roots = [
+        r for r in os.environ.get('SEVENNET_CHECKPOINT_DIR', '').split(':')
+        if r
+    ]
+    roots.append(os.path.join(os.path.expanduser('~'), '.cache',
+                              'sevennet_exp_tpu'))
+    roots.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tried = []
+    for root in roots:
+        for rel in _PRETRAINED_FILES[canonical]:
+            path = os.path.join(root, rel)
+            if os.path.isfile(path):
+                return path
+            tried.append(path)
+    raise FileNotFoundError(
+        f'pretrained potential {name!r} ({canonical}) not found; '
+        f'place the checkpoint under $SEVENNET_CHECKPOINT_DIR. '
+        f'Searched: {tried}'
+    )
+
+
+def resolve_checkpoint(path_or_name: str) -> str:
+    """Existing path -> as-is; otherwise try the pretrained keywords."""
+    if os.path.exists(path_or_name):
+        return path_or_name
+    if path_or_name.lower() in _PRETRAINED_ALIASES:
+        return pretrained_name_to_path(path_or_name)
+    return path_or_name
