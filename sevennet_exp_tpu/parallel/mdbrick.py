@@ -553,11 +553,19 @@ class BrickMolecularDynamics:
             )
         return chunks[key]
 
-    def _print_comm_stats(self):
-        """SEVENNET_PRINT_COMM diagnostics (the analog of the
+    def comm_stats(self) -> Dict:
+        """Machine-readable halo-exchange accounting (the analog of the
         reference's SEVENN_PRINT_INFO comm dumps,
-        pair_e3gnn_parallel.cpp:87-93,441-455): per-device occupancy
-        and the per-layer halo payload each refresh phase moves."""
+        pair_e3gnn_parallel.cpp:87-93,441-455,807-815): per-device
+        occupancy, actual send counts per phase/direction, and the
+        per-layer halo payload each refresh phase moves.
+
+        Volumes are per DEVICE per force call unless noted. A force
+        call runs 1 + n_layers feature refreshes forward (positions +
+        per-conv ghost features) and autodiff replays the n_layers
+        feature exchanges in reverse for the gradient accumulation, so
+        bytes_force_call covers (1 + 2*n_layers) refreshes.
+        """
         from ..model import layers as L
         spec = self.spec
         widths = [int(layer.tp.irreps_in1.dim)
@@ -565,17 +573,49 @@ class BrickMolecularDynamics:
                   if isinstance(layer, L.IrrepsConvolution)]
         sends = [np.asarray(m).sum(axis=2).astype(int).tolist()
                  for m in self.send_mask]
-        print(f'[comm] mesh={self.mesh_shape} cap_loc={spec.cap_loc} '
-              f'cap_g={spec.cap_g} deg_cap={spec.deg_cap} '
-              f'rows={spec.rows}')
-        print(f'[comm] n_loc={list(map(int, spec.n_loc))} '
-              f'sends(lo,hi) per phase={sends}')
-        for k, cg in enumerate(spec.cap_g):
-            payload = [2 * cg * w * 4 for w in widths]
+        itemsize = 4 if self.dtype == jnp.float32 else 8
+        # capacity-padded payload per phase (what actually rides the
+        # wire: ppermute moves the full (2, cap_g, width) buffer)
+        per_phase_pos = [2 * cg * 3 * itemsize for cg in spec.cap_g]
+        per_phase_feat = [
+            [2 * cg * w * itemsize for w in widths] for cg in spec.cap_g
+        ]
+        bytes_pos = sum(per_phase_pos)
+        bytes_feat_fwd = sum(sum(p) for p in per_phase_feat)
+        return dict(
+            mesh=list(self.mesh_shape),
+            n_devices=self.n_dev,
+            cap_loc=int(spec.cap_loc),
+            cap_g=[int(c) for c in spec.cap_g],
+            deg_cap=int(spec.deg_cap),
+            rows=int(spec.rows),
+            n_loc=list(map(int, np.asarray(spec.n_loc).ravel())),
+            sends_per_phase=sends,
+            layer_widths=widths,
+            bytes_per_phase_feat=per_phase_feat,
+            bytes_pos_refresh=bytes_pos,
+            bytes_feat_refresh_fwd=bytes_feat_fwd,
+            bytes_force_call=bytes_pos + 2 * bytes_feat_fwd,
+        )
+
+    def _print_comm_stats(self):
+        s = self.comm_stats()
+        print(f'[comm] mesh={tuple(s["mesh"])} cap_loc={s["cap_loc"]} '
+              f'cap_g={s["cap_g"]} deg_cap={s["deg_cap"]} '
+              f'rows={s["rows"]}')
+        print(f'[comm] n_loc={s["n_loc"]} '
+              f'sends(lo,hi) per phase={s["sends_per_phase"]}')
+        for k, payload in enumerate(s['bytes_per_phase_feat']):
             print(f'[comm] phase {k} halo payload/refresh per device: '
                   f'{[f"{p / 1e6:.2f}MB" for p in payload]} '
-                  f'(layer widths {widths}; {1 + len(widths)} refreshes '
-                  f'per force call incl. positions)')
+                  f'(layer widths {s["layer_widths"]}; '
+                  f'{1 + len(s["layer_widths"])} fwd refreshes per '
+                  f'force call incl. positions, feature refreshes '
+                  f'replayed once more in the backward)')
+        print(f'[comm] per device per force call: '
+              f'{s["bytes_force_call"] / 1e6:.2f}MB '
+              f'(pos {s["bytes_pos_refresh"] / 1e6:.2f} + fwd+bwd '
+              f'features 2x{s["bytes_feat_refresh_fwd"] / 1e6:.2f})')
 
     def run(self, n_steps: int) -> Dict[str, np.ndarray]:
         """Advance exactly n_steps; returns per-chunk energy /

@@ -185,28 +185,22 @@ def main():
                 vmem_limit_bytes=100 * 1024 * 1024),
         )
 
-        @jax.jit
-        def step(xT):
-            y = call(xT, shT, wT, *consts)
-            return xT + 1e-30 * jnp.sum(y[:1, :1]), y
+        from timing import slope_time
 
-        z = xT
+        def stepper(z):
+            y = call(z, shT, wT, *consts)
+            return z + 1e-30 * jnp.sum(y[:1, :1])
+
         try:
-            for _ in range(3):
-                z, y = step(z)
-            jax.block_until_ready(z)
+            y = jax.jit(lambda z: call(z, shT, wT, *consts))(xT)
+            jax.block_until_ready(y)
+            dt = slope_time(stepper, xT)
         except Exception as e:
             print(f'{label:6s}: FAILED {type(e).__name__}: '
                   f'{str(e)[:300]}')
             return None, None
-        n = 30
-        t0 = time.perf_counter()
-        for _ in range(n):
-            z, y = step(z)
-        jax.block_until_ready(z)
-        dt = (time.perf_counter() - t0) / n
         print(f'{label:6s}: {dt * 1e3:8.3f} ms  '
-              f'{dt / E * 1e9:7.2f} ns/row')
+              f'{dt / E * 1e9:7.2f} ns/row   (slope-timed)')
         return y, dt
 
     y_st, _ = run(st_kernel, 'st')

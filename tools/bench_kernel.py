@@ -68,18 +68,13 @@ def main():
             return jnp.sum(fused(xg, sh, emb, ms, mlp_ws, si2_ws)[:, :1])
         return xg + 1e-30 * jax.grad(loss)(xg)
 
+    # slope timing: one jit dispatch on the tunneled backend costs
+    # ~1.6 ms wall (tools/timing.py), which used to drown the kernel
+    from timing import slope_time
     for label, fn in [('fwd', fwd_step), ('fwd+bwd', vjp_step)]:
-        z = xg
-        for _ in range(2):
-            z = fn(z)
-        jax.block_until_ready(z)
-        k = 20
-        t0 = time.perf_counter()
-        for _ in range(k):
-            z = fn(z)
-        jax.block_until_ready(z)
-        dt = (time.perf_counter() - t0) / k * 1e3
-        print(f'{label:8s}: {dt:7.3f} ms  (mode={pallas_conv._DOT_MODE} '
+        dt = slope_time(fn, xg) * 1e3
+        print(f'{label:8s}: {dt:7.3f} ms  ({dt / E * 1e6:6.2f} ns/row  '
+              f'mode={pallas_conv._DOT_MODE} '
               f'fb={os.environ.get("SEVENNET_CONV_FWD_BLOCK", "-")} '
               f'bb={os.environ.get("SEVENNET_CONV_BWD_BLOCK", "-")})')
 

@@ -134,6 +134,41 @@ def main():
     print(f'parallel efficiency  : {t_s / (t_p * n_dev) * 100:5.1f}% '
           f'(speedup {t_s / t_p:.2f}x on {n_dev} devices)')
 
+    # ---- halo-volume accounting + v5e-8 ICI budget projection --------
+    import json
+    stats = brick.comm_stats()
+    # v5e: each chip has 4 ICI links; a 3-D brick mesh uses one
+    # bidirectional link pair per mesh axis. Effective per-link
+    # bandwidth ~45 GB/s/direction (v5e ICI per the public TPU
+    # scaling-book numbers: 1600 Gbps aggregate across 4 links);
+    # halo phases along different axes serialize (staged swap
+    # pattern), so the wire time is the SUM over phases.
+    ici_bw = 45e9
+    widths = stats['layer_widths']
+    itemsize = 4
+    # per phase: fwd feature refresh per layer + the bwd replay; both
+    # move (2, cap_g, width); positions move (2, cap_g, 3) once
+    t_wire = 0.0
+    for cg in stats['cap_g']:
+        t_wire += 2 * cg * 3 * itemsize / ici_bw
+        for w in widths:
+            t_wire += 2 * (2 * cg * w * itemsize) / ici_bw
+    proj = dict(
+        metric='brick_md_halo_accounting',
+        n_atoms=len(at),
+        mesh=stats['mesh'],
+        ms_per_step_serial=t_s * 1e3,
+        ms_per_step_brick=t_p * 1e3,
+        parallel_efficiency=t_s / (t_p * n_dev),
+        halo_MB_per_force_call_per_device=(
+            stats['bytes_force_call'] / 1e6),
+        cap_g=stats['cap_g'],
+        layer_widths=widths,
+        projected_ici_ms_per_step_v5e=t_wire * 1e3,
+        backend=jax.default_backend(),
+    )
+    print(json.dumps(proj))
+
 
 if __name__ == '__main__':
     main()
