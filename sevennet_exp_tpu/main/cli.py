@@ -188,33 +188,54 @@ def main_patch_lammps(argv=None):
                         'into (omit to just print instructions)')
     args = p.parse_args(argv)
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pair_src = os.path.join(repo, '..', 'runtime', 'lammps')
-    pair_src = os.path.normpath(pair_src)
+    # pair-style sources ship as package data (the analog of the
+    # reference's patch_lammps.sh:96-140 grafting pair_e3gnn into a
+    # LAMMPS tree)
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pair_src = os.path.join(pkg, 'lammps_pair')
+    cmake_snippet = (
+        '  # CMakeLists.txt additions (lammps/cmake):\n'
+        '  target_link_libraries(lammps PRIVATE '
+        '${SEVENN_EXEC_DIR}/libsevenn_exec.so)\n'
+        '  target_include_directories(lammps PRIVATE '
+        '${SEVENN_EXEC_DIR})\n'
+        '  # or for the legacy make build, append to LMP_INC/LIB:\n'
+        '  #   LMP_INC += -I$(SEVENN_EXEC_DIR)\n'
+        '  #   LIB     += -L$(SEVENN_EXEC_DIR) -lsevenn_exec'
+    )
     print(
         'SevenNet-TPU serves MD natively (sevennet_exp_tpu.md / '
-        'sevennet_exp_tpu.parallel). For LAMMPS-driven MD:\n'
-        f'  1. tools/build_sevenn_exec.sh  (numerically verified C API '
-        'around the deployed artifact)\n'
-        f'  2. copy {pair_src}/pair_sevennet_tpu.* into your LAMMPS '
-        'src/ and link -lsevenn_exec\n'
-        '  3. pair_style sevennet_tpu <deployed artifact dir> '
-        '(from sevenn_get_model)\n'
-        'See runtime/README.md for the build-flag requirements.'
+        'sevennet_exp_tpu.parallel). To drive a deployed potential '
+        'from LAMMPS instead:\n'
+        '  1. sevenn_get_model <checkpoint> -o deployed_serial   '
+        '(StableHLO serving artifact)\n'
+        '  2. tools/build_sevenn_exec.sh   (builds '
+        'libsevenn_exec.so, the numerically verified C API that '
+        'executes the artifact via PJRT)\n'
+        f'  3. sevenn_patch_lammps <lammps>/src   (copies the pair '
+        'style from {pair_src})\n'
+        '  4. rebuild LAMMPS with:\n'
+        f'{cmake_snippet}\n'
+        '  then: pair_style sevennet_tpu <artifact dir>; '
+        'pair_coeff * * <comma-separated element symbols>\n'
+        'Full walkthrough: runtime/README.md ("LAMMPS integration").'
     )
     if args.lammps_src:
-        if not os.path.isdir(pair_src):
-            print(
-                f'pair-style sources not found at {pair_src} — '
-                'sevenn_patch_lammps needs a source checkout of this '
-                'repo (the runtime/lammps directory is not shipped as '
-                'package data); clone the repo and rerun from there.'
-            )
+        if not os.path.isdir(args.lammps_src):
+            print(f'error: {args.lammps_src} is not a directory')
             return 1
         import shutil as _sh
-        for fn in os.listdir(pair_src):
-            _sh.copy(os.path.join(pair_src, fn), args.lammps_src)
-        print(f'copied pair style files to {args.lammps_src}')
+        copied = []
+        for fn in ('pair_sevennet_tpu.cpp', 'pair_sevennet_tpu.h'):
+            src = os.path.join(pair_src, fn)
+            dst = os.path.join(args.lammps_src, fn)
+            if os.path.exists(dst):
+                # back up like the reference patcher does
+                _sh.copy(dst, dst + '.bak')
+                print(f'backed up existing {fn} -> {fn}.bak')
+            _sh.copy(src, dst)
+            copied.append(fn)
+        print(f'copied {", ".join(copied)} to {args.lammps_src}')
     return 0
 
 

@@ -1,4 +1,4 @@
-"""The LAMMPS pair style (runtime/lammps/pair_sevennet_tpu.cpp) must
+"""The LAMMPS pair style (sevennet_exp_tpu/lammps_pair/pair_sevennet_tpu.cpp) must
 COMPILE and, driven through a mock LAMMPS world with periodic ghosts
 (runtime/lammps/harness.cpp), reproduce model.apply's E/F/virial from a
 deployed artifact — the check the reference gets by running real LAMMPS
@@ -27,7 +27,7 @@ def test_pair_style_compiles():
          '-I', os.path.join(REPO, 'runtime/lammps/mock'),
          '-I', os.path.join(REPO, 'runtime/lammps'),
          '-fsyntax-only',
-         os.path.join(REPO, 'runtime/lammps/pair_sevennet_tpu.cpp')],
+         os.path.join(REPO, 'sevennet_exp_tpu/lammps_pair/pair_sevennet_tpu.cpp')],
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr[-2000:]
