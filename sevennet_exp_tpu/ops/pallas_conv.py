@@ -78,7 +78,26 @@ _CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'cm')
 # transposed ONCE in VMEM so every elementwise CG op runs (width, B)
 # with the edge dim on the 128 lanes -- the structural fix for the
 # 25%-lane-use problem of (B, mul)-sliced ops at mul=32/64.
-_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed', 'cm')
+#
+# 'cmshared' (round 4, default) = feature-major TERMS formulation with
+# a per-class shared (m, n)-product cache and consolidated dots.
+# Slope-timed piece costs (tools/bench_pieces.py, mid layer, B=256,
+# dispatch overhead removed -- see tools/timing.py) showed the 'cm'
+# St path's cost is NOT arithmetic: materializing the tiled St factor
+# (sum_k d3*d1*mul = 8512 rows/edge) plus ~12 tiny ct-dots is 16.6 of
+# the 30.7 ns/row forward, while the terms products are ~4 ns/row of
+# VPU work; and the per-(group, p) si2/agg dots run at 8 lanes of 128
+# after aggregation. cmshared: (a) CG as cached (m, n) products
+# (shared ACROSS instructions of the same input slice) with
+# scalar-constant FMA accumulation -- zero St dots; (b) ONE
+# aggregation matmul over the row-stacked message; (c) one si2 dot
+# per output group with the d3 components lane-packed. The MXU-CG
+# alternative (dense CG operator over (m, n)-outer products,
+# tools/bench_cgmxu.py) measured 2.4x SLOWER than terms on v5e and
+# Mosaic's sublane<->lane reshapes mis-order data on hardware -- the
+# round-3-verdict hypothesis is refuted by measurement.
+_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed', 'cm',
+             'cmshared')
 
 
 def set_cg_mode(mode: str):

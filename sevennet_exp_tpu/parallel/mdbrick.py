@@ -95,6 +95,7 @@ class BrickMolecularDynamics:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
         device_rebuild: bool = True,
+        cap_margin: float = 1.25,
     ):
         """device_rebuild: migrate atoms and rebuild halos + neighbor
         grids INSIDE the jitted chunk (parallel/devrebuild.py — the
@@ -136,8 +137,13 @@ class BrickMolecularDynamics:
         self.n_dof = 3 * len(atoms)
 
         self.device_rebuild = device_rebuild
+        # cap_margin: static-capacity headroom factor (1.25 default);
+        # tests force the overflow -> host-re-decompose -> retry path
+        # with 1.0
+        self.cap_margin = float(cap_margin)
         self.spec = decompose_brick(
             atoms, self.mesh_shape, self.build_cutoff, axes=self.axes,
+            cap_margin=self.cap_margin,
         )
         self._push_state(init_velocities=True)
 
@@ -729,6 +735,8 @@ class BrickMolecularDynamics:
         self.spec = decompose_brick(
             at, self.mesh_shape, self.build_cutoff, axes=self.axes,
             prev=None if fresh else self.spec,
+            cap_margin=max(self.cap_margin, 1.25) if fresh
+            else self.cap_margin,
         )
         self._push_state(vel_global=gv)
         self._dev_dirty = False

@@ -206,10 +206,30 @@ def main():
     y_st, _ = run(st_kernel, 'st')
     y_outer, _ = run(outer_kernel, 'outer')
     run(dots_kernel, 'dots')
-    if y_st is not None and y_outer is not None:
-        err = float(jnp.max(jnp.abs(y_st - y_outer)))
-        ref = float(jnp.max(jnp.abs(y_st)))
-        print(f'max|st-outer| = {err:.3e}  (max|st| = {ref:.3e})')
+
+    # numpy oracle on the first block: which kernel is wrong?
+    xTn = np.asarray(xT[:, :B])
+    shn = np.asarray(shT[:, :B])
+    wn_ = np.asarray(wT[:, :B])
+    ref = np.zeros((wide, B), np.float32)
+    row = 0
+    for ki, p_ins in enumerate(instrs):
+        so = p_ins['sh_off']
+        for (m, n, p, c) in p_ins['nz']:
+            ref[(row + p) * mul:(row + p + 1) * mul, :] += (
+                c * xTn[m * mul:(m + 1) * mul, :]
+                * shn[so + n:so + n + 1, :]
+            )
+        for p in range(p_ins['dim3']):
+            ref[(row + p) * mul:(row + p + 1) * mul, :] *= (
+                wn_[ki * mul:(ki + 1) * mul, :]
+            )
+        row += p_ins['dim3']
+    for name, y in (('st', y_st), ('outer', y_outer)):
+        if y is not None:
+            err = float(np.abs(np.asarray(y[:, :B]) - ref).max())
+            print(f'max|{name}-oracle| = {err:.3e}  '
+                  f'(max|oracle| = {np.abs(ref).max():.3e})')
 
 
 if __name__ == '__main__':
