@@ -1,12 +1,21 @@
 """Benchmark: 7net-0 NVT molecular dynamics throughput (ns/day).
 
 Tracked metric (BASELINE.json): ns/day for 7net-0 NVT; north star is
->= 50 ns/day at 100k atoms on v5e-8. This single-chip bench runs the
-1k-atom configuration (dt = 2 fs, Nose-Hoover NVT) and reports
-vs_baseline as value / 50.0 against that north-star number.
+>= 50 ns/day at 100k atoms on v5e-8. The default (driver) invocation
+runs the 1k-atom configuration as the headline (dt = 2 fs, Nose-Hoover
+NVT) AND the ~97k single-chip north-star configuration, folding the
+latter into the same JSON line (VERDICT r3 #4: the 100k number must be
+a first-class artifact every round). vs_baseline is value / 50.0
+against the north-star ns/day.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "ns/day", "vs_baseline": N,
+   ..., "ns_day_100k": N, "sec_per_step_100k": N, ...}
+
+Usage:
+  python bench.py          # 1k headline + 97k leg (both in one line)
+  python bench.py N        # single size N only
+  SEVENNET_BENCH_100K=0 python bench.py   # skip the 97k leg
 """
 
 import json
@@ -22,26 +31,12 @@ def jnp_abs_max(a, b):
     return jnp.max(jnp.abs(a - b))
 
 
-def main():
-    import jax
-
-    # persistent compile cache: the 100k-atom programs take minutes to
-    # compile; cache hits make repeat runs (and the driver bench) cheap
-    from sevennet_exp_tpu.util import enable_compile_cache
-    enable_compile_cache()
-
+def build_nacl(n_target, rattle=0.02, seed=0):
+    """NaCl rocksalt supercell of ~n_target atoms."""
     from sevennet_exp_tpu.data.graph import Atoms
-    from sevennet_exp_tpu.md.engine import MolecularDynamics
-    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
-    from sevennet_exp_tpu.presets import sevennet_0_config
-
-    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    dt_fs = 2.0
-
-    # NaCl rocksalt supercell ~ n_target atoms
     a = 5.63
     reps = max(2, round((n_target / 8) ** (1 / 3)))
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     base = np.array([
         [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
         [0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5], [0.5, 0.5, 0.5],
@@ -56,21 +51,23 @@ def main():
                     zlist.append(z)
     cell = np.eye(3) * a * reps
     pos = np.array(fracs) @ cell
-    pos += rng.normal(scale=0.02, size=pos.shape)
-    atoms = Atoms(
+    pos += rng.normal(scale=rattle, size=pos.shape)
+    return Atoms(
         atomic_numbers=np.array(zlist), pos=pos, cell=cell,
         pbc=np.array([True] * 3),
     )
-    n_atoms = len(atoms)
 
-    # Preferred potential: the committed NaCl 7net-0 checkpoint trained
-    # on classical-ground-truth data (trained_nacl/, VERDICT r2 #6) --
-    # its PES keeps the 300 K rocksalt solid stable, so the bench
-    # measures physical forces and honest thermal neighbor statistics.
-    # Fallback (checkpoint absent): random weights with a tiny output
-    # scale at 30 K -- at 300 K a random PES restructures the crystal
-    # (degree spikes to ~52 vs 26 avg, cadence collapse), which no
-    # trained potential shows in a solid.
+
+def load_potential():
+    """Preferred potential: the committed NaCl 7net-0 checkpoint trained
+    on classical-ground-truth data (trained_nacl/, VERDICT r2 #6) --
+    its PES keeps the 300 K rocksalt solid stable, so the bench
+    measures physical forces and honest thermal neighbor statistics.
+    Fallback (checkpoint absent): random weights with a tiny output
+    scale at 30 K -- at 300 K a random PES restructures the crystal
+    (degree spikes to ~52 vs 26 avg, cadence collapse), which no
+    trained potential shows in a solid."""
+    import jax
     cp_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'trained_nacl', 'checkpoint_best.pth.sevennet',
@@ -78,93 +75,79 @@ def main():
     if os.path.exists(cp_path):
         from sevennet_exp_tpu.checkpoint import SevenNetCheckpoint
         model, params = SevenNetCheckpoint(cp_path).build_model()
-        temperature = 300.0
-        potential = 'trained_nacl'
-    else:
-        config = sevennet_0_config(species=['Na', 'Cl'])
-        config['shift'] = 0.0
-        config['scale'] = 0.01
-        model = build_e3_equivariant_model(config)
-        params, _ = model.init(jax.random.PRNGKey(0))
-        temperature = 30.0
-        potential = 'random'
+        return model, params, 300.0, 'trained_nacl'
+    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+    from sevennet_exp_tpu.presets import sevennet_0_config
+    config = sevennet_0_config(species=['Na', 'Cl'])
+    config['shift'] = 0.0
+    config['scale'] = 0.01
+    model = build_e3_equivariant_model(config)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    return model, params, 30.0, 'random'
+
+
+def hardware_parity_check(model, params, dt_fs):
+    """On-chip fused-kernel numerics check (VERDICT r2 #7): the Pallas
+    conv kernels are interpret-tested on CPU in the suite, but a
+    Mosaic layout/accumulation bug would only show on real hardware.
+    Every driver bench doubles as a hardware parity assert on a 1k
+    instance, fused vs XLA path."""
+    import jax
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+    from sevennet_exp_tpu.ops import pallas_tp
+
+    md_p = MolecularDynamics(
+        model, params, build_nacl(1000, seed=1),
+        dt_fs=dt_fs, temperature_K=30.0, ensemble='nvt',
+    )
+    verlet = md_p._ensure_verlet()
+    nlg = jax.jit(md_p._compact_nl)(verlet, md_p.state.pos)
+    e1, f1 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
+    pallas_tp.enable(False)
+    e0, f0 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
+    pallas_tp.enable(True)
+    d_f = float(jnp_abs_max(f1, f0))
+    d_e = abs(float(e1) - float(e0))
+    print(f'pallas-vs-xla on-chip parity: max|dF|={d_f:.2e} eV/A, '
+          f'|dE|={d_e:.2e} eV', file=sys.stderr)
+    # 5e-3 bound: the kernel intentionally runs bf16 single-pass
+    # MXU dots (ops/pallas_conv._DOT_PRECISION) while the XLA path
+    # runs fp32 matmuls; both are independently verified at ~0.0017
+    # eV/A force RMSE against the analytic classical ground truth
+    # (tools/gen_nacl_classical.py). A Mosaic layout/accumulation
+    # bug shows up orders of magnitude above this.
+    assert d_f <= 5e-3, (
+        f'fused-kernel force mismatch on hardware: {d_f:.3e}'
+    )
+    # per-atom energy drift between execution paths, ASSERTED (the
+    # round-3 verdict flagged the printed-only |dE|): ~1 meV/atom
+    # is the bf16-kernel-dot floor observed on v5e (0.89 meV at
+    # 1k); 1.5 meV trips on any real accumulation/layout bug.
+    n_at = md_p.state.pos.shape[0]
+    assert d_e / n_at <= 1.5e-3, (
+        f'fused-kernel per-atom energy drift: {d_e / n_at:.3e} eV'
+    )
+    return d_f, d_e / n_at
+
+
+def measure(model, params, temperature, n_target, dt_fs=2.0,
+            n_steps=200, max_warm_blocks=6):
+    """Sustained ns/day for one system size. Warmup with the SAME call
+    signature as the measured run: n_outer/k are static jit args, so a
+    different warmup step count would leave the measured call to pay
+    the XLA compile. Warm until capacities AND cadence are stable
+    across a full block -- a cap regrowth or cadence move inside the
+    measured window costs a fresh ~30-60 s XLA compile on the tunneled
+    backend and wrecks the number."""
+    import jax
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
 
     md = MolecularDynamics(
-        model, params, atoms, dt_fs=dt_fs, temperature_K=temperature,
-        ensemble='nvt', rebuild_every=20, seed=0,
+        model, params, build_nacl(n_target), dt_fs=dt_fs,
+        temperature_K=temperature, ensemble='nvt', rebuild_every=20,
+        seed=0,
     )
-
-    # on-chip fused-kernel numerics check (VERDICT r2 #7): the Pallas
-    # conv kernels are interpret-tested on CPU in the suite, but a
-    # Mosaic layout/accumulation bug would only show on real hardware.
-    # Every driver bench doubles as a hardware parity assert: E/F on a
-    # 1k config, fused vs XLA path, must agree to 1e-3 eV/A.
-    from sevennet_exp_tpu.ops import pallas_tp
-    parity = None
-    if pallas_tp.is_enabled():
-        md_p = md
-        if n_atoms > 20000:  # parity on a 1k instance, same widths
-            # NOTE must be a PROPER small lattice: slicing + wrapping
-            # the big lattice (pos[:1000] % box) overlaps atoms, the
-            # cell-list bins overflow, and on an overflowed list the
-            # edge-list and dense-grid edge sets legitimately diverge
-            # (the engine regrows + retries before running physics on
-            # one) — parity on that garbage geometry is meaningless.
-            p_reps = 5
-            p_fr, p_z = [], []
-            for i in range(p_reps):
-                for j in range(p_reps):
-                    for k in range(p_reps):
-                        for b, z in zip(base, zs):
-                            p_fr.append((b + [i, j, k]) / p_reps)
-                            p_z.append(z)
-            p_cell = np.eye(3) * a * p_reps
-            p_pos = np.array(p_fr) @ p_cell
-            p_pos += np.random.default_rng(1).normal(
-                scale=0.02, size=p_pos.shape)
-            md_p = MolecularDynamics(
-                model, params, Atoms(
-                    atomic_numbers=np.array(p_z), pos=p_pos,
-                    cell=p_cell, pbc=np.array([True] * 3)),
-                dt_fs=dt_fs, temperature_K=30.0, ensemble='nvt',
-            )
-        verlet = md_p._ensure_verlet()
-        nlg = jax.jit(md_p._compact_nl)(verlet, md_p.state.pos)
-        e1, f1 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
-        pallas_tp.enable(False)
-        e0, f0 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
-        pallas_tp.enable(True)
-        d_f = float(jnp_abs_max(f1, f0))
-        d_e = abs(float(e1) - float(e0))
-        parity = d_f
-        print(f'pallas-vs-xla on-chip parity: max|dF|={d_f:.2e} eV/A, '
-              f'|dE|={d_e:.2e} eV', file=sys.stderr)
-        # 5e-3 bound: the kernel intentionally runs bf16 single-pass
-        # MXU dots (ops/pallas_conv._DOT_PRECISION) while the XLA path
-        # runs fp32 matmuls; both are independently verified at ~0.0017
-        # eV/A force RMSE against the analytic classical ground truth
-        # (tools/gen_nacl_classical.py). A Mosaic layout/accumulation
-        # bug shows up orders of magnitude above this.
-        assert d_f <= 5e-3, (
-            f'fused-kernel force mismatch on hardware: {d_f:.3e}'
-        )
-        # per-atom energy drift between execution paths, ASSERTED (the
-        # round-3 verdict flagged the printed-only |dE|): ~1 meV/atom
-        # is the bf16-kernel-dot floor observed on v5e (0.89 meV at
-        # 1k); 1.5 meV trips on any real accumulation/layout bug.
-        n_at = md_p.state.pos.shape[0]
-        assert d_e / n_at <= 1.5e-3, (
-            f'fused-kernel per-atom energy drift: {d_e / n_at:.3e} eV'
-        )
-
-    # warmup with the SAME call signature as the measured run: n_outer/k
-    # are static jit args, so a different warmup step count would leave
-    # the measured call to pay the XLA compile. Warm until capacities
-    # AND cadence are stable across a full block -- a cap regrowth or
-    # cadence move inside the measured window costs a fresh ~30-60 s
-    # XLA compile on the tunneled backend and wrecks the number.
-    n_steps = 200
-    for _ in range(6):
+    for _ in range(max_warm_blocks):
         sig = (md.e_cap, md.deg_cap, md.cell_cap, md.rebuild_every)
         md.run(n_steps)
         jax.block_until_ready(md.state.pos)
@@ -179,18 +162,63 @@ def main():
 
     steps_per_s = n_steps / dt_wall
     ns_day = steps_per_s * dt_fs * 1e-6 * 86400.0
-    out = {
-        'metric': f'md_ns_per_day_7net0_nvt_{n_atoms}atoms',
-        'value': round(ns_day, 3),
-        'unit': 'ns/day',
-        'vs_baseline': round(ns_day / 50.0, 4),
-        'potential': potential,
-        'temperature_K': temperature,
+    return {
+        'n_atoms': md.state.pos.shape[0],
+        'ns_day': ns_day,
+        'sec_per_step': dt_wall / n_steps,
         'deg_cap': md.deg_cap,
         'rebuild_every': md.rebuild_every,
     }
+
+
+def main():
+    # persistent compile cache: the 100k-atom programs take minutes to
+    # compile; cache hits make repeat runs (and the driver bench) cheap
+    from sevennet_exp_tpu.util import enable_compile_cache
+    enable_compile_cache()
+    from sevennet_exp_tpu.ops import pallas_tp
+
+    dt_fs = 2.0
+    n_arg = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    model, params, temperature, potential = load_potential()
+
+    parity = None
+    if pallas_tp.is_enabled():
+        parity = hardware_parity_check(model, params, dt_fs)
+
+    head = measure(model, params, temperature, n_arg or 1000,
+                   dt_fs=dt_fs)
+    out = {
+        'metric': f'md_ns_per_day_7net0_nvt_{head["n_atoms"]}atoms',
+        'value': round(head['ns_day'], 3),
+        'unit': 'ns/day',
+        'vs_baseline': round(head['ns_day'] / 50.0, 4),
+        'potential': potential,
+        'temperature_K': temperature,
+        'deg_cap': head['deg_cap'],
+        'rebuild_every': head['rebuild_every'],
+    }
     if parity is not None:
-        out['pallas_max_dF'] = round(parity, 6)
+        out['pallas_max_dF'] = round(parity[0], 6)
+        out['pallas_dE_per_atom'] = round(parity[1], 8)
+
+    # north-star leg (driver invocation only): ~97k atoms, shorter
+    # protocol (30-step blocks -- at ~1.75 s/step r3 sustained, a 200
+    # step block alone would be 6 min). Failure or opt-out must never
+    # cost the headline line.
+    if n_arg is None and os.environ.get('SEVENNET_BENCH_100K', '1') != '0':
+        try:
+            big = measure(model, params, temperature, 97000,
+                          dt_fs=dt_fs, n_steps=30, max_warm_blocks=4)
+            out['n_atoms_100k'] = big['n_atoms']
+            out['ns_day_100k'] = round(big['ns_day'], 4)
+            out['sec_per_step_100k'] = round(big['sec_per_step'], 4)
+            out['vs_baseline_100k'] = round(big['ns_day'] / 50.0, 6)
+            out['deg_cap_100k'] = big['deg_cap']
+        except Exception as exc:  # noqa: BLE001 -- headline must survive
+            print(f'100k leg failed: {exc!r}', file=sys.stderr)
+            out['ns_day_100k'] = None
+
     print(json.dumps(out))
 
 

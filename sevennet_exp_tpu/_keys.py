@@ -74,6 +74,15 @@ EDGE_VEC_COLS = 'edge_vec_cols'         # (vx, vy, vz) 1-D (E,) tuple —
 EDGE_FEAT_PACKED = 'edge_feat_packed'   # (E/G, (n_basis+n_sh)*G):
 #   pack_cols([emb cols..., sh cols...], G); consumed chunk-wise by
 #   IrrepsConvolution (unpack_cols)
+EDGE_GEOM_PACKED = 'edge_geom_packed'   # python bool (in-trace static):
+#   geometry-fused packed regime — EdgeEmbedding packs only the raw
+#   edge-vector columns (EDGE_VEC_PACKED, 3 cols instead of
+#   n_basis+n_sh); convolutions compute Bessel/cutoff/SH in-kernel
+#   (ops/pallas_conv.GeomSpec)
+EDGE_VEC_PACKED = 'edge_vec_packed'     # (E/G, 3*G): pack_cols of
+#   (vx, vy, vz) for the geometry-fused chunked path
+EDGE_BESSEL_COEFFS = 'edge_bessel_coeffs'  # (n_basis,) Bessel
+#   frequencies, stashed by EdgeEmbedding for geometry-fused convs
 GRAPH_MASK = 'graph_mask'               # (G,)
 
 # -- train / data configuration keys ---------------------------------------

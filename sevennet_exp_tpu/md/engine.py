@@ -227,6 +227,22 @@ class MolecularDynamics:
             )
             self.d3_npt_margin = 1.15
             self._d3_enumerate_shifts(np.asarray(atoms.cell, np.float64))
+            if self.conv_chunk_rows:
+                # chunked large-system regime: D3 runs the block-tiled
+                # MIC sweep (ops/d3.dispersion_energy_tiled) — exact
+                # only when every cell width >= 2*r_vdw (NPT: plus the
+                # compression margin)
+                r_vdw_ang = float(np.sqrt(d3.rthr)) * d3mod.AU_TO_ANG
+                if ensemble == 'npt':
+                    r_vdw_ang *= self.d3_npt_margin
+                if not d3mod.mic_ok(np.asarray(atoms.cell), r_vdw_ang):
+                    raise ValueError(
+                        'D3 on the chunked large-system path uses '
+                        'minimum-image convention: every cell width '
+                        f'must be >= 2*r_vdw = {2 * r_vdw_ang:.1f} A. '
+                        'Reduce D3Dispersion(rthr=...) (forces beyond '
+                        '~20 A are < 1e-6 eV/A) or enlarge the cell.'
+                    )
 
     def _d3_enumerate_shifts(self, cell_ang: np.ndarray):
         """(Re)build the static integer replica-shift ranges. For NPT
@@ -284,6 +300,12 @@ class MolecularDynamics:
                 KEY.CONV_CHUNK_ROWS: self.conv_chunk_rows,
                 KEY.EDGE_PACK_G: min(64, unit & (-unit)),
             }
+            if self._geom_packed_ok():
+                # geometry-fused regime: pack 3 raw vector columns
+                # instead of n_basis+n_sh feature columns; convs compute
+                # Bessel/cutoff/SH in-kernel and their backward emits
+                # d(edge_vec) directly (layers.py _apply_geom_packed)
+                data[KEY.EDGE_GEOM_PACKED] = True
             d_c = []
             for c in range(3):
                 pi_c, pj_c = gather_col(
@@ -321,9 +343,25 @@ class MolecularDynamics:
             out = self.model.apply_energy(self.params, data)
             e = jnp.sum(out[KEY.PRED_TOTAL_ENERGY])
             if self._d3 is not None:
-                raise NotImplementedError(
-                    'D3 overlay with the chunked large-system path'
+                # large-system D3: block-tiled MIC sweep (O(block^2)
+                # memory at any N, factored C6) — clears the
+                # reference's 46,340-atom pair_d3 cap
+                # (pair_e3gnn/README.md:66). MIC validity (cell widths
+                # >= 2*r_vdw) is asserted at engine init.
+                d = self._d3
+                eng = d['engine']
+                fr = pos @ inv_cell
+                pos_w = (fr - jnp.floor(fr)) @ cell_m
+                lat_m = cell_m
+                if strain is not None:
+                    pos_w = pos_w + pos_w @ strain
+                    lat_m = cell_m + cell_m @ strain
+                au = d['mod'].AU_TO_ANG
+                e_disp = d['mod'].dispersion_energy_tiled(
+                    pos_w / au, lat_m / au, d['tidx'], d['tables'],
+                    eng.damping, eng.rthr, eng.cn_thr,
                 )
+                e = e + e_disp * d['mod'].AU_TO_EV
             return e
         if nl.rev is not None:
             # dense neighbor grid (see _compact_nl): gathers carry
@@ -418,6 +456,19 @@ class MolecularDynamics:
         from ..ops.pallas_conv import agg_block_unit
         unit = agg_block_unit(self.deg_cap)
         return int(np.ceil(self.n * self.deg_cap / unit) * unit)
+
+    def _geom_packed_ok(self) -> bool:
+        """Whether the packed large-system path runs geometry-fused
+        (EDGE_GEOM_PACKED): every convolution carries a GeomSpec and
+        the pallas kernels + geom knob are live. Decided once per
+        engine instance -- the choice bakes into the jitted programs,
+        so a mid-instance pallas/geom toggle must not flip it."""
+        ok = getattr(self, '_geom_ok', None)
+        if ok is None:
+            from ..model.layers import geom_packed_ok
+            ok = geom_packed_ok(self.model)
+            self._geom_ok = ok
+        return ok
 
     @property
     def conv_chunk_rows(self) -> int:

@@ -186,6 +186,7 @@ def nequip_interaction_block(
     num_modalities: int = 0,
     key_weight_input: str = KEY.EDGE_EMBEDDING,
     key_mask: str = KEY.EDGE_MASK,
+    geom=None,
 ) -> List[Tuple[str, Any]]:
     """One NequIP block (reference sevenn/nn/interaction_blocks.py:12-88).
     key_weight_input/key_mask select per-layer cutoff channels under
@@ -266,6 +267,7 @@ def nequip_interaction_block(
                 train_denominator=train_conv_denominator,
                 key_weight_input=key_weight_input,
                 key_mask=key_mask,
+                geom=geom,
             ),
         ))
 
@@ -320,6 +322,25 @@ def build_e3_equivariant_model(config: Dict[str, Any]) -> SevenNetModel:
         else edge_embedding.basis.num_basis
     )
     layers.append(('edge_embedding', edge_embedding))
+
+    # geometry-fused conv kernels (ops/pallas_conv.GeomSpec): Bessel +
+    # cutoff + SH computed inside the kernel, backward emits
+    # d(edge_vec) directly. Single-cutoff standard embedding only;
+    # multi_cutoff layers keep the XLA edge pipeline.
+    geom_spec = None
+    if (isinstance(edge_embedding, L.EdgeEmbedding)
+            and edge_embedding.normalize_sph):
+        from ..ops import pallas_conv as _pc
+        _cf = edge_embedding.cutoff_fn
+        geom_spec = _pc.GeomSpec(
+            cutoff=float(edge_embedding.basis.cutoff),
+            num_basis=int(edge_embedding.basis.num_basis),
+            lmax=int(edge_embedding.lmax_edge),
+            cutoff_kind=('xplor' if isinstance(_cf, XPLORCutoff)
+                         else 'poly'),
+            cutoff_p=float(getattr(_cf, 'p', 6)),
+            cutoff_on=float(getattr(_cf, 'cutoff_on', 0.0)),
+        )
 
     one_hot_irreps = Irreps(f'{num_species}x0e')
     irreps_x = (
@@ -395,6 +416,7 @@ def build_e3_equivariant_model(config: Dict[str, Any]) -> SevenNetModel:
             act_radial=act_radial,
             bias_in_linear=use_bias,
             num_species=num_species,
+            geom=geom_spec,
             use_modal_self_inter_intro=use_modality
             and config.get(KEY.USE_MODAL_SELF_INTER_INTRO, False),
             use_modal_self_inter_outro=use_modality

@@ -44,6 +44,21 @@ def _no_params(key):
     return {}, {}
 
 
+def geom_packed_ok(model) -> bool:
+    """Whether a model can run the geometry-fused packed regime
+    (EDGE_GEOM_PACKED): every convolution carries a GeomSpec and the
+    pallas kernels + geom knob are live. Engines call this ONCE per
+    instance -- the answer bakes into their jitted programs."""
+    convs = [l for _, l in model.layers
+             if isinstance(l, IrrepsConvolution)]
+    return (
+        pallas_conv.geom_enabled()
+        and pallas_conv.is_enabled()
+        and bool(convs)
+        and all(l.geom is not None for l in convs)
+    )
+
+
 @dataclass(frozen=True)
 class EdgeEmbedding:
     """EDGE_VEC -> EDGE_LENGTH, EDGE_EMBEDDING (bessel*envelope*mask),
@@ -63,6 +78,10 @@ class EdgeEmbedding:
         return p, {'coeffs': self.basis.trainable}
 
     def apply(self, params, data):
+        # geometry-fused convs read the raw edge vector and these
+        # coefficients; on paths where every conv takes the fused
+        # kernel, the emb/sh computed below are dead code XLA removes
+        data[KEY.EDGE_BESSEL_COEFFS] = params['coeffs']
         if KEY.EDGE_VEC_COLS in data:
             # packed large-system path: the whole edge pipeline flows
             # as 1-D columns (an (E, W) array lane-pads W -> 128 on
@@ -72,6 +91,14 @@ class EdgeEmbedding:
             from ..ops.spherical import spherical_harmonics_cols
 
             vx, vy, vz = data[KEY.EDGE_VEC_COLS]
+            if data.get(KEY.EDGE_GEOM_PACKED):
+                # geometry-fused regime: pack only the 3 vector
+                # columns; Bessel/cutoff/SH happen inside the conv
+                # kernels (ops/pallas_conv.GeomSpec)
+                from ..ops.scatter import pack_cols
+                g = data[KEY.EDGE_PACK_G]
+                data[KEY.EDGE_VEC_PACKED] = pack_cols([vx, vy, vz], g)
+                return data
             r = jnp.sqrt(vx * vx + vy * vy + vz * vz)
             data[KEY.EDGE_LENGTH] = r
             env = self.cutoff_fn.apply(r)
@@ -296,6 +323,11 @@ class IrrepsConvolution:
     key_weight_input: str = KEY.EDGE_EMBEDDING
     key_edge_idx: str = KEY.EDGE_IDX
     key_mask: str = KEY.EDGE_MASK
+    # geometry-fused kernels (ops/pallas_conv.GeomSpec): Bessel +
+    # cutoff + SH inside the conv kernel, backward emits d(edge_vec).
+    # Set by model/build.py for single-cutoff standard embeddings;
+    # forces/inference path only (weights get no grad through it).
+    geom: Optional[Any] = None
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -352,6 +384,215 @@ class IrrepsConvolution:
             return agg
         return self.si2.apply(params['si2'], agg, skip_bias=True)
 
+    def _geom_eligible(self, data, rows: int, dd) -> bool:
+        return (
+            self.geom is not None
+            and pallas_conv.geom_enabled()
+            and KEY.EDGE_BESSEL_COEFFS in data
+            and self._fused_eligible(rows, dd)
+        )
+
+    def _rows_to_nodes_geom(self, params, xg, vec, coeffs, scale, dd):
+        """Geometry-fused variant of _rows_to_nodes: raw edge vectors
+        in, Bessel/cutoff/SH computed inside the kernel."""
+        x_dtype = xg.dtype
+        mlp_ws = tuple(
+            params['weight_nn'][f'w{i}'].astype(x_dtype)
+            for i in range(len(self.weight_nn.hs) - 1)
+        )
+        si2_ws = tuple(
+            params['si2'][f'w{n}'].astype(x_dtype)
+            for n in range(len(self.si2.paths))
+        )
+        fusedg, _ = pallas_conv.make_fused_conv(
+            self.tp, self.weight_nn, self.si2, agg_d=dd or 0,
+            geom=self.geom,
+        )
+        return fusedg(xg, vec.astype(x_dtype), scale,
+                      coeffs.astype(x_dtype), mlp_ws, si2_ws)
+
+    def _apply_geom_packed(self, params, data, x, edge_src, rev, dd,
+                           denom, chunk_rows, vpacked):
+        """Geometry-fused packed-chunked execution (large systems):
+        the only resident per-edge array is the 3-column packed edge
+        vector (vs n_basis+n_sh columns on the EDGE_FEAT_PACKED path);
+        each chunk gathers neighbor features, unpacks its vector
+        slice, and runs the geom kernel -- Bessel/cutoff/SH computed
+        in-kernel, backward emitting d(edge_vec) directly, no XLA-side
+        SH/radial fwd+VJP fusions (the fused force backward of the
+        reference's manual layer-by-layer MD backward,
+        pair_e3gnn_parallel.cpp:401-438).
+
+        CONTRACT: inference/forces-only like the EDGE_FEAT_PACKED
+        fused path -- cotangents flow to (x, vec_packed) alone; the
+        closed-over weights and Bessel coefficients get no parameter
+        gradient (training uses the XLA path)."""
+        from ..ops.scatter import pack_cols, unpack_cols
+
+        pg = data[KEY.EDGE_PACK_G]
+        mask1d = data[self.key_mask]
+        coeffs = jax.lax.stop_gradient(
+            data[KEY.EDGE_BESSEL_COEFFS].astype(x.dtype))
+        rows = edge_src.shape[0]
+        n_chunks, rem = divmod(rows, chunk_rows)
+        full = rows - rem
+
+        def unpack_chunk(x, src_c, vpk_c, mask_c):
+            # barrier: keeps XLA from fusing the slices into the pallas
+            # custom call's scoped VMEM (see EDGE_FEAT_PACKED path)
+            xg, vpk_c, mask_c = jax.lax.optimization_barrier(
+                (x[src_c], vpk_c, mask_c)
+            )
+            vec_c = unpack_cols(vpk_c, pg, 3)
+            scale_c = (mask_c[:, None] / denom).astype(x.dtype)
+            return xg, vec_c, scale_c
+
+        fused_ok = (
+            self._geom_eligible(data, chunk_rows, dd)
+            and (rem == 0 or self._fused_eligible(rem, dd))
+            and rev is not None
+        )
+        if fused_ok:
+            mlp_ws = tuple(
+                jax.lax.stop_gradient(
+                    params['weight_nn'][f'w{i}'].astype(x.dtype))
+                for i in range(len(self.weight_nn.hs) - 1)
+            )
+            si2_ws = tuple(
+                jax.lax.stop_gradient(
+                    params['si2'][f'w{n}'].astype(x.dtype))
+                for n in range(len(self.si2.paths))
+            )
+            fusedg, _ = pallas_conv.make_fused_conv(
+                self.tp, self.weight_nn, self.si2, agg_d=dd,
+                geom=self.geom,
+            )
+
+            def chunk_fwd(x, src_c, vpk_c, mask_c):
+                xg, vec_c, scale_c = unpack_chunk(
+                    x, src_c, vpk_c, mask_c
+                )
+                return fusedg.fwd_only(
+                    xg, vec_c, scale_c, coeffs, mlp_ws, si2_ws
+                )
+
+            def chunk_bwd(x, src_c, vpk_c, mask_c, g_c):
+                xg, vec_c, scale_c = unpack_chunk(
+                    x, src_c, vpk_c, mask_c
+                )
+                dxg, dvec = fusedg.bwd_only(
+                    (xg, vec_c, scale_c, coeffs, mlp_ws, si2_ws),
+                    g_c,
+                )[:2]
+                dpk = pack_cols([dvec[:, i] for i in range(3)], pg)
+                return dxg, dpk
+
+            @jax.custom_vjp
+            def conv_scan(x, vpacked):
+                def body(_, i):
+                    sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                        a, i * k, k
+                    )
+                    return None, chunk_fwd(
+                        x, sl(edge_src, chunk_rows),
+                        sl(vpacked, chunk_rows // pg),
+                        sl(mask1d, chunk_rows),
+                    )
+
+                _, ys = jax.lax.scan(
+                    body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+                )
+                o = ys.reshape((-1,) + ys.shape[2:])
+                if rem:
+                    o = jnp.concatenate([
+                        o,
+                        chunk_fwd(x, edge_src[full:],
+                                  vpacked[full // pg:],
+                                  mask1d[full:]),
+                    ])
+                return o
+
+            def cs_fwd(x, vpacked):
+                return conv_scan(x, vpacked), (x, vpacked)
+
+            def cs_bwd(res, g):
+                x, vpacked = res
+
+                def body(_, i):
+                    sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                        a, i * k, k
+                    )
+                    return None, chunk_bwd(
+                        x, sl(edge_src, chunk_rows),
+                        sl(vpacked, chunk_rows // pg),
+                        sl(mask1d, chunk_rows),
+                        sl(g, chunk_rows // dd),
+                    )
+
+                _, (dxgs, dpks) = jax.lax.scan(
+                    body, None, jnp.arange(n_chunks, dtype=jnp.int32)
+                )
+                dxg = dxgs.reshape(-1, dxgs.shape[-1])
+                dvpk = dpks.reshape(-1, dpks.shape[-1])
+                if rem:
+                    dxg_r, dpk_r = chunk_bwd(
+                        x, edge_src[full:], vpacked[full // pg:],
+                        mask1d[full:], g[full // dd:],
+                    )
+                    dxg = jnp.concatenate([dxg, dxg_r])
+                    dvpk = jnp.concatenate([dvpk, dpk_r])
+                # dx[v] = sum over v's grid rows of dxg[rev] (see the
+                # EDGE_FEAT_PACKED path)
+                dxr = dxg[rev]
+                dx = dxr.reshape(rows // dd, dd,
+                                 dxr.shape[-1]).sum(axis=1)
+                return dx[:x.shape[0]], dvpk
+
+            conv_scan.defvjp(cs_fwd, cs_bwd)
+            out = conv_scan(x, vpacked)
+        else:
+            # XLA fallback: _geom_fm is plain jnp, so the same in-chunk
+            # geometry math runs as an XLA fusion with remat
+            @jax.checkpoint
+            def piece(x, src_c, vpk_c, mask_c):
+                xg, vec_c, scale_c = unpack_chunk(
+                    x, src_c, vpk_c, mask_c
+                )
+                embT, shT = pallas_conv._geom_fm(
+                    vec_c.T, coeffs, self.geom
+                )
+                return self._rows_to_nodes(
+                    params, xg, shT.T, embT.T, scale_c, dd
+                )
+
+            def body(_, i):
+                sl = lambda a, k: jax.lax.dynamic_slice_in_dim(
+                    a, i * k, k
+                )
+                return None, piece(
+                    x, sl(edge_src, chunk_rows),
+                    sl(vpacked, chunk_rows // pg),
+                    sl(mask1d, chunk_rows),
+                )
+
+            _, out = jax.lax.scan(
+                body, None, jnp.arange(n_chunks, dtype=jnp.int32),
+            )
+            out = out.reshape((-1,) + out.shape[2:])
+            if rem:
+                out = jnp.concatenate([
+                    out,
+                    piece(x, edge_src[full:], vpacked[full // pg:],
+                          mask1d[full:]),
+                ])
+        out = out[:x.shape[0]]
+        if self.si2 is not None:
+            bias = self.si2.bias_vector(params['si2'], out.dtype)
+            if bias is not None:
+                out = out + bias
+        data[self.key_x] = out
+        return data
+
     def apply(self, params, data):
         x = data[self.key_x]
         edge_idx = data[self.key_edge_idx]
@@ -366,6 +607,12 @@ class IrrepsConvolution:
         packed = data.get(KEY.EDGE_FEAT_PACKED)
 
         chunk_rows = data.get(KEY.CONV_CHUNK_ROWS) if dd else None
+        vpacked = data.get(KEY.EDGE_VEC_PACKED)
+        if chunk_rows and vpacked is not None and self.geom is not None:
+            return self._apply_geom_packed(
+                params, data, x, edge_src, rev, dd, denom, chunk_rows,
+                vpacked,
+            )
         if chunk_rows and packed is not None:
             # packed memory-chunked execution (large systems): the only
             # resident per-edge array is the dense-packed feature block
@@ -614,7 +861,14 @@ class IrrepsConvolution:
             out = out[:x.shape[0]]
         elif dd is not None and rev is not None:
             xg = gather_rev(x, edge_src, rev, edge_dst, dense_d=dd)
-            out = self._rows_to_nodes(params, xg, sh, emb, scale, dd)
+            if (self._geom_eligible(data, xg.shape[0], dd)
+                    and KEY.EDGE_VEC in data):
+                out = self._rows_to_nodes_geom(
+                    params, xg, data[KEY.EDGE_VEC],
+                    data[KEY.EDGE_BESSEL_COEFFS], scale, dd,
+                )
+            else:
+                out = self._rows_to_nodes(params, xg, sh, emb, scale, dd)
             out = out[:x.shape[0]]
         else:
             xg = gather_rev(x, edge_src, rev, edge_dst) \

@@ -72,41 +72,55 @@ def set_interpret(flag: bool):
 # pure data movement on the VPU instead of dense dots.
 import os as _os
 
-_CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'cm')
+_CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'cmshared')
 
 # 'cm' = feature-major (column-major) kernels: all per-edge tensors are
 # transposed ONCE in VMEM so every elementwise CG op runs (width, B)
 # with the edge dim on the 128 lanes -- the structural fix for the
 # 25%-lane-use problem of (B, mul)-sliced ops at mul=32/64.
 #
-# 'cmshared' (round 4, default) = feature-major TERMS formulation with
-# a per-class shared (m, n)-product cache and consolidated dots.
-# Slope-timed piece costs (tools/bench_pieces.py, mid layer, B=256,
-# dispatch overhead removed -- see tools/timing.py) showed the 'cm'
-# St path's cost is NOT arithmetic: materializing the tiled St factor
-# (sum_k d3*d1*mul = 8512 rows/edge) plus ~12 tiny ct-dots is 16.6 of
-# the 30.7 ns/row forward, while the terms products are ~4 ns/row of
-# VPU work; and the per-(group, p) si2/agg dots run at 8 lanes of 128
-# after aggregation. cmshared: (a) CG as cached (m, n) products
-# (shared ACROSS instructions of the same input slice) with
-# scalar-constant FMA accumulation -- zero St dots; (b) ONE
-# aggregation matmul over the row-stacked message; (c) one si2 dot
-# per output group with the d3 components lane-packed. The MXU-CG
-# alternative (dense CG operator over (m, n)-outer products,
-# tools/bench_cgmxu.py) measured 2.4x SLOWER than terms on v5e and
-# Mosaic's sublane<->lane reshapes mis-order data on hardware -- the
-# round-3-verdict hypothesis is refuted by measurement.
+# 'cmshared' (round 4, DEFAULT) = feature-major TERMS formulation with
+# an (m, n)-product cache shared ACROSS instructions of the same input
+# slice, fwd AND bwd -- zero St dots. Measured (slope-timed, v5e,
+# tools/bench_kernel.py E=44032, 2026-08-18): fwd 25.6 -> 18.2 ns/row,
+# fwd+bwd 39.0 -> 33.3 vs 'cm'. bench_pieces showed why: the St
+# materialization (tiled (sum_k d3*d1*mul, B) factor + ~12 tiny
+# ct-dots) is 15.6 of the 29.3 ns/row 'cm' forward while the terms
+# products are ~4 ns/row of VPU work. 'cmhyb' (terms fwd + St bwd)
+# measured WORSE than either (41.7 fwd+bwd). The MXU-CG alternative
+# (dense CG operator over (m, n)-outer products, tools/bench_cgmxu.py)
+# re-measured 2026-08-18 on hardware: 2.1x slower than 'st' AND
+# numerically wrong (Mosaic sublane<->lane reshapes mis-order data;
+# max|err| ~ max|val|) -- the round-3-verdict MXU hypothesis stays
+# refuted by measurement.
 _FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed', 'cm',
-             'cmshared')
+             'cmshared', 'cmhyb')
 
 
 def set_cg_mode(mode: str):
     """'terms' | 'fullwidth' | 'fwslim' | 'fwhybrid' | 'fwmixed' |
-    'cm'. Affects newly built kernels only -- call
-    make_fused_conv.cache_clear() to rebuild."""
+    'cm' | 'cmshared' | 'cmhyb'. Affects newly built kernels only --
+    call make_fused_conv.cache_clear() to rebuild."""
     global _CG_MODE
     assert mode in ('terms',) + _FW_MODES
     _CG_MODE = mode
+
+
+# geometry-fused kernels (GeomSpec below): opt-out knob. When off, the
+# engines fall back to the XLA edge pipeline + non-geom fused kernels
+# (the round-3 configuration) -- used by tests to cover both paths and
+# as a production escape hatch.
+_GEOM_ENABLED = _os.environ.get(
+    'SEVENNET_GEOM_FUSED', '1').lower() not in ('0', 'false', 'off')
+
+
+def set_geom_enabled(flag: bool):
+    global _GEOM_ENABLED
+    _GEOM_ENABLED = bool(flag)
+
+
+def geom_enabled() -> bool:
+    return _GEOM_ENABLED
 
 
 def _iota_blockdiag(rows: int, cols: int, group: int, transpose=False):
@@ -206,6 +220,105 @@ def _dot(a, b):
 def is_enabled() -> bool:
     from . import pallas_tp
     return pallas_tp.is_enabled()
+
+
+# ---------------------------------------------------------------------
+# In-kernel edge geometry ('geom' kernels): Bessel radial basis, cutoff
+# envelope and real spherical harmonics computed INSIDE the conv kernel
+# from the raw edge vector, with their VJPs to the edge vector folded
+# into the kernel backward (jax.vjp over the traced geometry function).
+# Removes the (E, f)/(E, nb) HBM round-trips, the XLA-side SH/radial
+# fwd+VJP fusions, and shrinks the packed large-system feature block
+# from nb+f columns to 3 (the edge vector) -- the fused-backward move
+# the round-3 verdict asked for (reference analog: the manual
+# layer-by-layer backward of pair_e3gnn_parallel.cpp:401-438).
+# ---------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class GeomSpec:
+    """Static geometry config (hashable: keys make_fused_conv's cache).
+
+    Mirrors EdgeEmbedding (model/layers.py): emb_n = (2/rc) *
+    sin(c_n r)/r * env(r) * mask; Y = component-normalized real SH of
+    the (normalized) edge vector (reference edge_embedding.py:81-161).
+    """
+    cutoff: float
+    num_basis: int
+    lmax: int
+    cutoff_kind: str            # 'poly' | 'xplor'
+    cutoff_p: float = 6.0       # poly exponent
+    cutoff_on: float = 0.0      # xplor r_on
+    normalize: bool = True      # SH of v/|v|
+
+
+def _sh_rows_fm(ux, uy, uz, lmax: int):
+    """Feature-major real SH: three (1, B) rows -> (lmax+1)^2 (1, B)
+    rows, identical math to ops/spherical.spherical_harmonics_cols."""
+    from .spherical import _monomials, sh_coefficients
+    rows = []
+    for l in range(lmax + 1):
+        coef = np.asarray(sh_coefficients(l)) * math.sqrt(2 * l + 1)
+        mono_vals = []
+        for a, b, c in _monomials(l):
+            t = None
+            if a:
+                t = ux ** a
+            if b:
+                t = uy ** b if t is None else t * uy ** b
+            if c:
+                t = uz ** c if t is None else t * uz ** c
+            mono_vals.append(t if t is not None else jnp.ones_like(ux))
+        for m in range(2 * l + 1):
+            acc = None
+            for k, mv in enumerate(mono_vals):
+                cc = float(coef[m, k])
+                if abs(cc) < 1e-14:
+                    continue
+                term = mv * cc
+                acc = term if acc is None else acc + term
+            rows.append(acc if acc is not None else jnp.zeros_like(ux))
+    return rows
+
+
+def _geom_fm(vT, coeffs, spec: GeomSpec):
+    """(3, B) edge vectors + (num_basis,) Bessel coeffs ->
+    (embT (nb, B), shT (f, B)), feature-major, eps-guarded for padded
+    rows (dummy vectors are r > 0 by the neighbor-stack contract, the
+    eps only guards exact zeros)."""
+    x, y, z = vT[0:1, :], vT[1:2, :], vT[2:3, :]
+    r2 = x * x + y * y + z * z
+    r = jnp.sqrt(r2 + 1e-30)
+    inv_r = 1.0 / r
+    if spec.cutoff_kind == 'poly':
+        p = float(spec.cutoff_p)
+        c0 = (p + 1.0) * (p + 2.0) / 2.0
+        c1 = p * (p + 2.0)
+        c2 = p * (p + 1.0) / 2.0
+        rr = r * (1.0 / spec.cutoff)
+        rp = rr ** p
+        env = 1.0 - c0 * rp + c1 * rp * rr - c2 * rp * rr * rr
+    elif spec.cutoff_kind == 'xplor':
+        r_on2 = spec.cutoff_on ** 2
+        rc2 = spec.cutoff ** 2
+        smooth = ((rc2 - r2) ** 2 * (rc2 + 2.0 * r2 - 3.0 * r_on2)
+                  / (rc2 - r_on2) ** 3)
+        env = jnp.where(r < spec.cutoff_on, 1.0, smooth)
+    else:
+        raise ValueError(spec.cutoff_kind)
+    pref = 2.0 / spec.cutoff
+    scale = pref * inv_r * env
+    emb_rows = [jnp.sin(coeffs[n] * r) * scale
+                for n in range(spec.num_basis)]
+    embT = jnp.concatenate(emb_rows, axis=0)
+    if spec.normalize:
+        ux, uy, uz = x * inv_r, y * inv_r, z * inv_r
+    else:
+        ux, uy, uz = x, y, z
+    shT = jnp.concatenate(_sh_rows_fm(ux, uy, uz, spec.lmax), axis=0)
+    return embT, shT
 
 
 def _tp_plan(spec: UVUTensorProductSpec):
@@ -382,8 +495,12 @@ def make_fused_conv(
     si2_spec: LinearSpec,
     block_e: int = 256,
     agg_d: int = 0,
+    geom: 'GeomSpec | None' = None,
 ):
-    """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y.
+    """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y, or -- with
+    geom set -- fused(xg, edge_vec, maskscale, bessel_coeffs, mlp_ws,
+    si2_ws) -> y with Bessel/cutoff/SH computed in-kernel and the
+    backward emitting d(edge_vec) directly (see GeomSpec).
 
     mlp_ws: tuple of raw MLP weights (as stored, N(0,1) scale);
     si2_ws: tuple of si2 path weight matrices (as stored).
@@ -410,7 +527,16 @@ def make_fused_conv(
     # full-width CG: per-instruction constant matrices passed as kernel
     # inputs (pallas rejects captured array constants). ct: sh -> tiled
     # St; c2: lane-group sums -> dsh columns (bwd).
-    use_fw = _CG_MODE in _FW_MODES
+    # 'cmshared' skips the St machinery entirely: all instructions take
+    # the terms path with a product cache shared across instructions
+    # (bench_pieces 2026-08-18: the St materialization is 15.6 of the
+    # 29.3 ns/row forward; the terms products are ~4 ns/row).
+    # 'cmhyb' keeps the St/full-width machinery for the BACKWARD (where
+    # its consolidated dX/dsh dots measured faster than terms) but
+    # forces the terms-shared path in the FORWARD.
+    use_cm = _CG_MODE in ('cm', 'cmshared', 'cmhyb')
+    fwd_terms = _CG_MODE in ('cmshared', 'cmhyb')
+    use_fw = _CG_MODE in _FW_MODES and _CG_MODE != 'cmshared'
     # Per-leg choices. Isolated-kernel timings (v5e, E=44k, mid 7net-0
     # layer) showed slice-sum group reductions 2.8x faster than the 0/1
     # matmul in the BACKWARD kernel but 1.5x slower in the forward;
@@ -735,11 +861,16 @@ def make_fused_conv(
         return (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
                 else pieces[0])
 
-    def _cg_acc_cm(xgT, shT, fw_refs, p_ins):
-        """CG contraction, feature-major: list of dim3 (mul, B)."""
+    def _cg_acc_cm(xgT, shT, fw_refs, p_ins, cache=None,
+                   force_terms=False):
+        """CG contraction, feature-major: list of dim3 (mul, B).
+
+        cache: optional dict shared ACROSS instructions ('cmshared'):
+        keyed by absolute (x row block, sh column), so instructions on
+        the same input slice reuse each other's x*y products."""
         mul = p_ins['mul']
         xo, so = p_ins['x_off'], p_ins['sh_off']
-        if p_ins['ct'] is not None:
+        if p_ins['ct'] is not None and not force_terms:
             dd1, dd3 = p_ins['dim1'], p_ins['dim3']
             W = mul * dd1
             XT = xgT[xo:xo + W, :]
@@ -749,30 +880,23 @@ def make_fused_conv(
                 _gsum_cm(XT * StT[p * W:(p + 1) * W, :], mul, dd1)
                 for p in range(dd3)
             ]
-        cache = {}
+        if cache is None:
+            cache = {}
         acc = [None] * p_ins['dim3']
         for (m, n, p, c) in p_ins['nz']:
-            if (m, n) not in cache:
-                cache[(m, n)] = (
+            key = (xo + m * mul, mul, so + n)
+            if key not in cache:
+                cache[key] = (
                     xgT[xo + m * mul: xo + (m + 1) * mul, :]
                     * shT[so + n: so + n + 1, :]
                 )
-            t = cache[(m, n)] * c
+            t = cache[key] * c
             acc[p] = t if acc[p] is None else acc[p] + t
         return acc
 
-    def fwd_kernel_cm(xg_ref, sh_ref, emb_ref, ms_ref,
-                      w0_ref, w1_ref, w2_ref, *rest):
-        si2_refs = rest[:n_si2]
-        fw_refs = rest[n_si2:n_si2 + n_fw]
-        out_ref = rest[-1]
-        w_rad, _ = _mlp_forward(
-            emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
-        )
-        w_radT = (w_rad * ms_ref[...]).T        # (w_numel, B)
-        xgT = xg_ref[...].T                     # (d1, B)
-        shT = sh_ref[...].T                     # (f, B)
-        b = xg_ref.shape[0]
+    def _cm_fwd_core(xgT, shT, w_radT, b, si2_refs, fw_refs):
+        """Shared cm forward: weighted CG messages -> (agg) -> si2.
+        Returns the (n_rows, d_out) output block (row-major)."""
         if agg_d:
             rows = b // agg_d
             # lane aggregation: catT (K, B) @ AT (B, B/D) sums each
@@ -782,6 +906,7 @@ def make_fused_conv(
                   == jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
                   ).astype(jnp.float32)
         out_blocks = {}
+        xy_shared = {}
         for grp in groups:
             W = si2_refs[grp['path']][...] * grp['alpha']   # (K, mo)
             mo, oo = grp['mo'], grp['out_off']
@@ -789,7 +914,8 @@ def make_fused_conv(
             for p_ins, _row in grp['ks']:
                 mul, wo = p_ins['mul'], p_ins['w_off']
                 wnT = w_radT[wo:wo + mul, :]
-                acc = _cg_acc_cm(xgT, shT, fw_refs, p_ins)
+                acc = _cg_acc_cm(xgT, shT, fw_refs, p_ins, xy_shared,
+                                 force_terms=fwd_terms)
                 accw.append([
                     (a if a is not None
                      else jnp.zeros((mul, b), jnp.float32)) * wnT
@@ -802,23 +928,26 @@ def make_fused_conv(
                     catT = _dot(catT, AT)
                 out_blocks[(oo + p * mo, mo)] = _dotT(W, catT)
         out_rows = next(iter(out_blocks.values())).shape[1]
-        out_ref[...] = _assemble_rows(out_blocks, d_out, out_rows).T
+        return _assemble_rows(out_blocks, d_out, out_rows).T
 
-    def bwd_kernel_cm(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
-                      w0_ref, w1_ref, w2_ref, *refs):
-        si2_refs = refs[:n_si2]
-        fw_refs = refs[n_si2:n_si2 + n_fw]
-        dxg_ref, dsh_ref, demb_ref = refs[-3:]
-        w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
-        w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
-            emb_ref[...], w0, w1, w2, act_name
+    def fwd_kernel_cm(xg_ref, sh_ref, emb_ref, ms_ref,
+                      w0_ref, w1_ref, w2_ref, *rest):
+        si2_refs = rest[:n_si2]
+        fw_refs = rest[n_si2:n_si2 + n_fw]
+        out_ref = rest[-1]
+        w_rad, _ = _mlp_forward(
+            emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
         )
-        ms = ms_ref[...]
-        w_effT = (w_rad * ms).T
-        xgT = xg_ref[...].T
-        shT = sh_ref[...].T
-        gT = g_ref[...].T                       # (d_out, rows)
-        b = xg_ref.shape[0]
+        w_radT = (w_rad * ms_ref[...]).T        # (w_numel, B)
+        xgT = xg_ref[...].T                     # (d1, B)
+        shT = sh_ref[...].T                     # (f, B)
+        out_ref[...] = _cm_fwd_core(
+            xgT, shT, w_radT, xg_ref.shape[0], si2_refs, fw_refs
+        )
+
+    def _cm_bwd_core(gT, xgT, shT, w_effT, b, si2_refs, fw_refs):
+        """Shared cm backward: returns (dxgT (d1, B) assembled,
+        dshT (f, B), dw_effT (w_numel, B))."""
         if agg_d:
             rows = b // agg_d
             # expansion: (K, rows) @ E (rows, B) broadcasts node
@@ -830,6 +959,8 @@ def make_fused_conv(
         dxg_acc = {}       # (x offset, width) -> (width, B)
         dshT = jnp.zeros((f, b), jnp.float32)
         dw_eff_cols = {}
+        xm_shared = {}     # x row block -> (mul, B)   (cross-instruction)
+        xy_shared = {}     # (x row block, sh col) -> (mul, B)
         for grp in groups:
             W = si2_refs[grp['path']][...] * grp['alpha']   # (K, mo)
             mo, oo = grp['mo'], grp['out_off']
@@ -879,8 +1010,6 @@ def make_fused_conv(
                         else dw_eff_cols[key] + dw_acc_fw
                     )
                     continue
-                xm_cache = {}
-                xy_cache = {}
                 gxm_cache = {}
                 sacc = {}
                 dw_acc = None
@@ -890,12 +1019,12 @@ def make_fused_conv(
                 for p, terms in nz_by_p.items():
                     acc_p = None
                     for (m, n, c) in terms:
-                        if m not in xm_cache:
-                            xm_cache[m] = xgT[
-                                xo + m * mul: xo + (m + 1) * mul, :]
-                        xm = xm_cache[m]
-                        yn = shT[so + n: so + n + 1, :]
                         kx = (xo + m * mul, mul)
+                        if kx not in xm_shared:
+                            xm_shared[kx] = xgT[
+                                xo + m * mul: xo + (m + 1) * mul, :]
+                        xm = xm_shared[kx]
+                        yn = shT[so + n: so + n + 1, :]
                         v = gwT[p] * (yn * c)
                         dxg_acc[kx] = (v if kx not in dxg_acc
                                        else dxg_acc[kx] + v)
@@ -903,9 +1032,10 @@ def make_fused_conv(
                             gxm_cache[(m, p)] = gwT[p] * xm
                         s = gxm_cache[(m, p)] * c
                         sacc[n] = s if n not in sacc else sacc[n] + s
-                        if (m, n) not in xy_cache:
-                            xy_cache[(m, n)] = xm * yn
-                        t = xy_cache[(m, n)] * c
+                        kxy = kx + (so + n,)
+                        if kxy not in xy_shared:
+                            xy_shared[kxy] = xm * yn
+                        t = xy_shared[kxy] * c
                         acc_p = t if acc_p is None else acc_p + t
                     if acc_p is not None:
                         t = gmcatT[p][row:row + mul, :] * acc_p
@@ -919,23 +1049,108 @@ def make_fused_conv(
                         dw_acc if key not in dw_eff_cols
                         else dw_eff_cols[key] + dw_acc
                     )
-        dxg_ref[...] = _assemble_rows(dxg_acc, d1, b).T
-        dsh_ref[...] = dshT.T
         pieces = []
         for p_ins in plan:
             v = dw_eff_cols.get((p_ins['w_off'], p_ins['mul']))
             if v is None:
                 v = jnp.zeros((p_ins['mul'], b), jnp.float32)
             pieces.append(v)
-        dw_eff = jnp.concatenate(pieces, axis=0).T          # (B, wn)
-        dw_rad = dw_eff * ms
+        dw_effT = jnp.concatenate(pieces, axis=0)           # (wn, B)
+        return _assemble_rows(dxg_acc, d1, b), dshT, dw_effT
+
+    def bwd_kernel_cm(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
+                      w0_ref, w1_ref, w2_ref, *refs):
+        si2_refs = refs[:n_si2]
+        fw_refs = refs[n_si2:n_si2 + n_fw]
+        dxg_ref, dsh_ref, demb_ref = refs[-3:]
+        w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
+        w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
+            emb_ref[...], w0, w1, w2, act_name
+        )
+        ms = ms_ref[...]
+        w_effT = (w_rad * ms).T
+        xgT = xg_ref[...].T
+        shT = sh_ref[...].T
+        gT = g_ref[...].T                       # (d_out, rows)
+        b = xg_ref.shape[0]
+        dxgT, dshT, dw_effT = _cm_bwd_core(
+            gT, xgT, shT, w_effT, b, si2_refs, fw_refs
+        )
+        dxg_ref[...] = dxgT.T
+        dsh_ref[...] = dshT.T
+        dw_rad = dw_effT.T * ms
         dh1 = _dot(dw_rad, (w2 / math.sqrt(w2.shape[0])).T)
         dpre1 = dh1 * _act_grad(pre1, act_name)
         dh0 = _dot(dpre1, (w1 / math.sqrt(w1.shape[0])).T)
         dpre0 = dh0 * _act_grad(pre0, act_name)
         demb_ref[...] = _dot(dpre0, (w0 / math.sqrt(w0.shape[0])).T)
 
-    if _CG_MODE == 'cm':
+    # ---- geometry-fused kernels ('geom'): edge vector in, Bessel +
+    # cutoff + SH computed in-kernel; backward emits d(edge_vec)
+    # directly via jax.vjp over the traced geometry ------------------
+
+    def _mlp_fm(embT, w0, w1, w2):
+        """Feature-major radial MLP: (nb, B) -> (w_numel, B); hiddens
+        kept feature-major so no transposes appear anywhere."""
+        cst = NORMALIZE2MOM_CST[act_name]
+        import jax.nn as jnn
+        act = {'silu': jnn.silu, 'tanh': jnp.tanh, 'ssp':
+               lambda v: jnn.softplus(v) - math.log(2.0)
+               }.get(act_name, jnn.silu)
+        pre0 = _dotT(w0 / math.sqrt(w0.shape[0]), embT)
+        h0 = act(pre0) * cst
+        pre1 = _dotT(w1 / math.sqrt(w1.shape[0]), h0)
+        h1 = act(pre1) * cst
+        wT = _dotT(w2 / math.sqrt(w2.shape[0]), h1)
+        return wT, (pre0, h0, pre1, h1)
+
+    def fwd_kernel_geom(xg_ref, vec_ref, ms_ref, cf_ref,
+                        w0_ref, w1_ref, w2_ref, *rest):
+        si2_refs = rest[:n_si2]
+        fw_refs = rest[n_si2:n_si2 + n_fw]
+        out_ref = rest[-1]
+        vT = vec_ref[...].T                     # (3, B)
+        coeffs = cf_ref[...][0]                 # (nb,)
+        embT, shT = _geom_fm(vT, coeffs, geom)
+        w_radT, _ = _mlp_fm(embT, w0_ref[...], w1_ref[...], w2_ref[...])
+        w_radT = w_radT * ms_ref[...].T
+        xgT = xg_ref[...].T
+        out_ref[...] = _cm_fwd_core(
+            xgT, shT, w_radT, xg_ref.shape[0], si2_refs, fw_refs
+        )
+
+    def bwd_kernel_geom(g_ref, xg_ref, vec_ref, ms_ref, cf_ref,
+                        w0_ref, w1_ref, w2_ref, *refs):
+        si2_refs = refs[:n_si2]
+        fw_refs = refs[n_si2:n_si2 + n_fw]
+        dxg_ref, dvec_ref = refs[-2:]
+        w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
+        vT = vec_ref[...].T
+        coeffs = cf_ref[...][0]
+        (embT, shT), geom_vjp = jax.vjp(
+            lambda v: _geom_fm(v, coeffs, geom), vT
+        )
+        w_radT, (pre0, h0, pre1, h1) = _mlp_fm(embT, w0, w1, w2)
+        msT = ms_ref[...].T                     # (1, B)
+        w_effT = w_radT * msT
+        xgT = xg_ref[...].T
+        gT = g_ref[...].T
+        b = xg_ref.shape[0]
+        dxgT, dshT, dw_effT = _cm_bwd_core(
+            gT, xgT, shT, w_effT, b, si2_refs, fw_refs
+        )
+        dxg_ref[...] = dxgT.T
+        # radial chain, feature-major
+        dw_radT = dw_effT * msT
+        dh1 = _raw_dot(w2 / math.sqrt(w2.shape[0]), dw_radT)
+        dpre1 = dh1 * _act_grad(pre1, act_name)
+        dh0 = _raw_dot(w1 / math.sqrt(w1.shape[0]), dpre1)
+        dpre0 = dh0 * _act_grad(pre0, act_name)
+        dembT = _raw_dot(w0 / math.sqrt(w0.shape[0]), dpre0)
+        dvT, = geom_vjp((dembT, dshT))
+        dvec_ref[...] = dvT.T
+
+    if use_cm:
         fwd_kernel = fwd_kernel_cm
         bwd_kernel = bwd_kernel_cm
 
@@ -1026,6 +1241,77 @@ def make_fused_conv(
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dsh, demb, jnp.zeros_like(ms), zeros_mlp, zeros_si2)
+
+    def fwd_call_geom(xg, vec, ms, coeffs, mlp_ws, si2_ws):
+        e = xg.shape[0]
+        assert e % fwd_block == 0 and e % bwd_block == 0
+        mlp_shapes = [w.shape for w in mlp_ws]
+        si2_shapes = [w.shape for w in si2_ws]
+        n_out = e // agg_d if agg_d else e
+        out_rows = fwd_block // agg_d if agg_d else fwd_block
+        cf = coeffs.reshape(1, -1)
+        return pl.pallas_call(
+            fwd_kernel_geom,
+            out_shape=jax.ShapeDtypeStruct((n_out, d_out), xg.dtype),
+            grid=(e // fwd_block,),
+            in_specs=(
+                _especs([d1, 3, 1], fwd_block)
+                + _wspecs([cf.shape])
+                + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
+            ),
+            out_specs=_especs([d_out], out_rows)[0],
+            interpret=_INTERPRET,
+            compiler_params=_cparams,
+        )(xg, vec, ms, cf, *mlp_ws, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
+
+    def bwd_call_geom(res, g):
+        xg, vec, ms, coeffs, mlp_ws, si2_ws = res
+        e = xg.shape[0]
+        mlp_shapes = [w.shape for w in mlp_ws]
+        si2_shapes = [w.shape for w in si2_ws]
+        g_rows = bwd_block // agg_d if agg_d else bwd_block
+        cf = coeffs.reshape(1, -1)
+        dxg, dvec = pl.pallas_call(
+            bwd_kernel_geom,
+            out_shape=(
+                jax.ShapeDtypeStruct((e, d1), xg.dtype),
+                jax.ShapeDtypeStruct((e, 3), xg.dtype),
+            ),
+            grid=(e // bwd_block,),
+            in_specs=(
+                _especs([d_out], g_rows)
+                + _especs([d1, 3, 1], bwd_block)
+                + _wspecs([cf.shape])
+                + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
+            ),
+            out_specs=tuple(_especs([d1, 3], bwd_block)),
+            interpret=_INTERPRET,
+            compiler_params=_cparams,
+        )(g, xg, vec, ms, cf, *mlp_ws, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
+        zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
+        zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
+        return (dxg, dvec, jnp.zeros_like(ms), jnp.zeros_like(coeffs),
+                zeros_mlp, zeros_si2)
+
+    if geom is not None:
+        assert use_cm, 'geom kernels are feature-major (cm) only'
+
+        @jax.custom_vjp
+        def fusedg(xg, vec, ms, coeffs, mlp_ws, si2_ws):
+            return fwd_call_geom(xg, vec, ms, coeffs, mlp_ws, si2_ws)
+
+        def fusedg_fwd(xg, vec, ms, coeffs, mlp_ws, si2_ws):
+            return (fwd_call_geom(xg, vec, ms, coeffs, mlp_ws, si2_ws),
+                    (xg, vec, ms, coeffs, mlp_ws, si2_ws))
+
+        fusedg.defvjp(fusedg_fwd, bwd_call_geom)
+        fusedg.fwd_only = fwd_call_geom
+        fusedg.bwd_only = bwd_call_geom
+        return fusedg, d_out
 
     @jax.custom_vjp
     def fused(xg, sh, emb, ms, mlp_ws, si2_ws):

@@ -96,6 +96,7 @@ class BrickMolecularDynamics:
         use_pallas: Optional[bool] = None,
         device_rebuild: bool = True,
         cap_margin: float = 1.25,
+        conv_chunk_rows: Optional[int] = None,
     ):
         """device_rebuild: migrate atoms and rebuild halos + neighbor
         grids INSIDE the jitted chunk (parallel/devrebuild.py — the
@@ -137,6 +138,12 @@ class BrickMolecularDynamics:
         self.n_dof = 3 * len(atoms)
 
         self.device_rebuild = device_rebuild
+        # memory-chunked convolution per shard (None = auto threshold,
+        # 0 = off, else explicit rows): lifts the per-shard edge
+        # capacity above the ~512k-row whole-array regime (the engine's
+        # CONV_CHUNK_ROWS path, VERDICT r3 #6) -- 100k-1M atoms on a
+        # pod slice run chunked inside each brick
+        self._conv_chunk_rows_arg = conv_chunk_rows
         # cap_margin: static-capacity headroom factor (1.25 default);
         # tests force the overflow -> host-re-decompose -> retry path
         # with 1.0
@@ -212,6 +219,32 @@ class BrickMolecularDynamics:
         return gp, gv
 
     # -- per-shard energy/forces ---------------------------------------
+    @property
+    def conv_chunk_rows(self) -> int:
+        """0 = whole-array convolution per shard; else the scan-chunk
+        row count (multiple of the kernel aggregation block). Same
+        threshold as the single-chip engine: above ~512k dense rows
+        the gathered per-edge features would blow HBM per shard."""
+        from ..ops.pallas_conv import agg_block_unit
+        unit = agg_block_unit(self.spec.deg_cap)
+        if self._conv_chunk_rows_arg is not None:
+            rows = int(self._conv_chunk_rows_arg)
+            if rows <= 0:
+                return 0
+        elif self.spec.rows > 524288:
+            rows = 131072
+        else:
+            return 0
+        return max(unit, rows // unit * unit)
+
+    def _geom_packed_ok(self) -> bool:
+        ok = getattr(self, '_geom_ok', None)
+        if ok is None:
+            from ..model.layers import geom_packed_ok
+            ok = geom_packed_ok(self.model)
+            self._geom_ok = ok
+        return ok
+
     def _shard_energy(self, pos_loc, strain, z, loc_mask, send_idx,
                       send_mask, shifts, edge_idx, edge_mask, edge_rev):
         """Per-shard energy on the dense-grid fast path; `strain`
@@ -227,19 +260,6 @@ class BrickMolecularDynamics:
         )
 
         pos_all = pos_refresh(pos_loc)
-        # scatter-free pairwise gather: the VJP aggregates per-center
-        # over the dense grid and rides the reverse-edge permutation
-        # (ops/scatter.py) — no scatter-add in the force program
-        pi, pj = gather_pair(
-            pos_all, edge_idx, edge_rev, dense_d=spec.deg_cap
-        )
-        vec = pj - pi
-        r2 = jnp.sum(vec * vec, axis=-1)
-        mask = (edge_mask > 0) & (r2 < self.cutoff ** 2)
-        safe = jnp.where(
-            mask[:, None], vec, jnp.array([1.0, 0.0, 0.0], vec.dtype)
-        )
-        safe = safe + safe @ strain
         cap_all = spec.cap_all
         z_all = feat_refresh(
             z.astype(pos_loc.dtype)
@@ -251,15 +271,68 @@ class BrickMolecularDynamics:
         data = {
             KEY.ATOMIC_NUMBERS: z_all,
             KEY.EDGE_IDX: edge_idx,
-            KEY.EDGE_VEC: safe,
-            KEY.EDGE_MASK: mask.astype(safe.dtype),
             KEY.EDGE_REV: edge_rev,
             KEY.EDGE_DENSE_D: spec.deg_cap,
             KEY.BATCH: jnp.zeros(cap_all, dtype=jnp.int32),
             KEY.NUM_ATOMS: jnp.array([cap_all], dtype=jnp.int32),
             KEY.NODE_MASK: node_mask,
-            KEY.CELL_VOLUME: jnp.array([self.volume], safe.dtype),
+            KEY.CELL_VOLUME: jnp.array([self.volume], pos_loc.dtype),
         }
+        chunk_rows = self.conv_chunk_rows
+        if chunk_rows:
+            # packed large-shard path (engine._energy_fn analog): edge
+            # geometry flows as 1-D columns -- an (E, 3) array
+            # lane-pads 3 -> 128 on TPU; per-chunk remat keeps resident
+            # per-edge memory at O(chunk) (layers.py EDGE_FEAT_PACKED /
+            # EDGE_GEOM_PACKED)
+            from ..ops.pallas_conv import agg_block_unit
+            from ..ops.scatter import gather_col
+            unit = agg_block_unit(spec.deg_cap)
+            d_c = []
+            for c in range(3):
+                pi_c, pj_c = gather_col(
+                    pos_all[:, c], edge_idx[1], edge_rev, edge_idx[0],
+                    dense_d=spec.deg_cap,
+                )
+                d_c.append(pj_c - pi_c)
+            r2 = (d_c[0] * d_c[0] + d_c[1] * d_c[1]
+                  + d_c[2] * d_c[2])
+            mask = (edge_mask > 0) & (r2 < self.cutoff ** 2)
+            defaults = (1.0, 0.0, 0.0)
+            s_c = [jnp.where(mask, v, d)
+                   for v, d in zip(d_c, defaults)]
+            s_c = [
+                s_c[a] + sum(s_c[b] * strain[b, a] for b in range(3))
+                for a in range(3)
+            ]
+            data |= {
+                KEY.EDGE_VEC_COLS: tuple(s_c),
+                KEY.EDGE_MASK: mask.astype(pos_loc.dtype),
+                KEY.CONV_CHUNK_ROWS: chunk_rows,
+                KEY.EDGE_PACK_G: min(64, unit & (-unit)),
+            }
+            if self._geom_packed_ok():
+                data[KEY.EDGE_GEOM_PACKED] = True
+        else:
+            # scatter-free pairwise gather: the VJP aggregates
+            # per-center over the dense grid and rides the reverse-edge
+            # permutation (ops/scatter.py) — no scatter-add in the
+            # force program
+            pi, pj = gather_pair(
+                pos_all, edge_idx, edge_rev, dense_d=spec.deg_cap
+            )
+            vec = pj - pi
+            r2 = jnp.sum(vec * vec, axis=-1)
+            mask = (edge_mask > 0) & (r2 < self.cutoff ** 2)
+            safe = jnp.where(
+                mask[:, None], vec,
+                jnp.array([1.0, 0.0, 0.0], vec.dtype)
+            )
+            safe = safe + safe @ strain
+            data |= {
+                KEY.EDGE_VEC: safe,
+                KEY.EDGE_MASK: mask.astype(safe.dtype),
+            }
         out = self.model.apply_energy(
             self.params, data, halo_refresh=feat_refresh
         )

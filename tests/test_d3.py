@@ -65,14 +65,19 @@ def test_forces_match_finite_difference(damping, functional):
     pos = np.array([[0.0, 0, 0], [1.3, 0, 0], [-0.6, 0.9, 0],
                     [-0.6, -0.9, 0]]) + 0.05 * rng.randn(4, 3)
     out = d3.compute(z, pos)
-    eps = 1e-3
+    # eps large enough that the fd energy difference (~f * 2eps) sits
+    # well above f32 evaluation noise: the fd reference itself was
+    # observed to move by ~6e-4 eV/A between XLA CPU configs at
+    # eps=1e-3 (fusion-order rounding), while the analytic force is
+    # stable to 1e-6 -- a wrong force formula errs by >>5e-3 rel
+    eps = 5e-3
     for (i, k) in [(0, 0), (1, 1), (3, 2)]:
         p1, p2 = pos.copy(), pos.copy()
         p1[i, k] += eps
         p2[i, k] -= eps
         fd = -(d3.compute(z, p1)['energy']
                - d3.compute(z, p2)['energy']) / (2 * eps)
-        assert out['forces'][i, k] == pytest.approx(fd, rel=2e-3, abs=1e-4)
+        assert out['forces'][i, k] == pytest.approx(fd, rel=5e-3, abs=2e-4)
 
 
 def test_energy_attractive_and_damped():
@@ -238,3 +243,118 @@ def test_npt_with_d3_overlay():
     m = md.run(6)
     assert np.isfinite(m['energy']).all()
     assert np.isfinite(m['volume']).all()
+
+
+def test_c6_reference_grid_separability():
+    """The factored per-atom C6 interpolation (ops/d3.c6_atom_factors)
+    rests on two structural facts of Grimme's table, asserted here over
+    all 94 elements: validity factorizes as valid_i[k] & valid_j[l],
+    and cn_i[t1, t2, k, l] depends only on (t1, k) (cn_j on (t2, l))."""
+    from sevennet_exp_tpu.ops.d3 import _raw_tables
+
+    raw = _raw_tables()
+    c6, cni, cnj = raw['c6'], raw['cn_i'], raw['cn_j']
+    fin = np.isfinite(c6)
+    valid_tk = fin.any(axis=(1, 3))                    # (94, MAXC)
+    expect = valid_tk[:, None, :, None] & valid_tk[None, :, None, :]
+    assert np.array_equal(fin, expect)
+
+    with np.errstate(invalid='ignore'):
+        ref_i = np.where(fin, cni, np.nan)
+        ref_j = np.where(fin, cnj, np.nan)
+        # constant over (t2, l) / (t1, k) wherever defined
+        assert np.nanmax(np.nanmax(ref_i, axis=(1, 3))
+                         - np.nanmin(ref_i, axis=(1, 3))) == 0.0
+        assert np.nanmax(np.nanmax(ref_j, axis=(0, 2))
+                         - np.nanmin(ref_j, axis=(0, 2))) == 0.0
+
+
+def test_tiled_mic_matches_replica_path():
+    """dispersion_energy_tiled (block-tiled MIC sweep, the 100k-capable
+    path) must reproduce the replica-scan dispersion_energy exactly --
+    energy AND autodiff forces -- whenever MIC is valid (cell widths
+    >= 2*cutoff). Block=64 on 90 atoms also exercises the padding."""
+    import jax
+    from sevennet_exp_tpu.ops.d3 import (
+        AU_TO_ANG, build_tables, dispersion_energy,
+        dispersion_energy_tiled, lattice_shifts, mic_ok,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 90
+    cell_ang = np.diag([14.0, 15.0, 14.5])
+    pos_ang = rng.uniform(0, 1, (n, 3)) @ cell_ang
+    z = rng.choice([1, 6, 8, 11, 17], n)
+    rthr = (6.0 / AU_TO_ANG) ** 2   # bohr^2; 2*6 A < 14 A -> MIC exact
+    cn_thr = (4.0 / AU_TO_ANG) ** 2
+    assert mic_ok(cell_ang, 6.0)
+
+    zu, tidx = np.unique(z, return_inverse=True)
+    tables = build_tables(zu, np.float32)
+    damping = get_damping_params('damp_bj', 'pbe')
+    lat = jnp.asarray(cell_ang / AU_TO_ANG, jnp.float32)
+    pos = jnp.asarray(pos_ang / AU_TO_ANG, jnp.float32)
+    tidx = jnp.asarray(tidx)
+
+    sv = lattice_shifts(np.asarray(lat, np.float64), [True] * 3,
+                        float(np.sqrt(rthr)), 16).reshape(-1, 16, 3)
+    sc = lattice_shifts(np.asarray(lat, np.float64), [True] * 3,
+                        float(np.sqrt(cn_thr)), 16).reshape(-1, 16, 3)
+
+    def e_ref(p):
+        return dispersion_energy(p, lat, tidx, tables, damping,
+                                 jnp.asarray(sv, jnp.float32),
+                                 jnp.asarray(sc, jnp.float32),
+                                 rthr, cn_thr)
+
+    def e_tiled(p):
+        return dispersion_energy_tiled(p, lat, tidx, tables, damping,
+                                       rthr, cn_thr, block=64)
+
+    e0, g0 = jax.value_and_grad(e_ref)(pos)
+    e1, g1 = jax.value_and_grad(e_tiled)(pos)
+    assert float(e1) == pytest.approx(float(e0), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_md_chunked_path_with_d3():
+    """D3 on the chunked large-system engine path (round-3's last
+    NotImplementedError): the tiled-MIC D3 overlay on the packed
+    chunked program must match the whole-array replica-D3 program."""
+    import jax
+    import sys
+    sys.path.insert(0, 'tests')
+    from samples import rattled_rocksalt, tiny_model_config
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+    from sevennet_exp_tpu.model.build import build_e3_equivariant_model
+    from sevennet_exp_tpu.ops.d3 import AU_TO_ANG
+
+    at = rattled_rocksalt(reps=3, a=3.2, rattle=0.03, seed=4)  # 9.6 A box
+    model = build_e3_equivariant_model(tiny_model_config({'cutoff': 4.0}))
+    params, _ = model.init(jax.random.PRNGKey(0))
+    # r_vdw = 4.2 A < box/2 -> MIC exact; replica path agrees
+    d3 = D3Dispersion('damp_bj', 'pbe', rthr=64.0, cn_thr=36.0)
+
+    md = MolecularDynamics(model, params, at, ensemble='nve', seed=1,
+                           use_pallas=False, d3=d3)
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    md_c = MolecularDynamics(model, params, at, ensemble='nve', seed=1,
+                             use_pallas=False, d3=d3,
+                             conv_chunk_atoms=16)
+    assert md_c.conv_chunk_rows > 0
+    nl_c = md_c._compact_nl(md_c._build_nl(md_c.state.pos),
+                            md_c.state.pos)
+    e_c, f_c = md_c._ef_fn(md.state.pos, nl_c)
+    assert float(e_c) == pytest.approx(float(e_ref), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
+                               rtol=1e-3, atol=5e-5)
+
+    # MIC-violating threshold must fail loudly at init, with guidance
+    d3_big = D3Dispersion('damp_bj', 'pbe', rthr=9000.0)
+    with pytest.raises(ValueError, match='minimum-image'):
+        MolecularDynamics(model, params, at, ensemble='nve', seed=1,
+                          use_pallas=False, d3=d3_big,
+                          conv_chunk_atoms=16)

@@ -223,6 +223,10 @@ def test_conv_chunked_fused_piece_matches_whole(md_setup, monkeypatch):
     monkeypatch.setattr(layers_mod.pallas_conv, 'make_fused_conv',
                         counting)
     pallas_tp.enable(True)
+    # pin the EDGE_FEAT_PACKED fused path (the geom-fused regime has
+    # its own test: test_pallas_conv.test_geom_packed_chunked_...)
+    geom_was = pallas_conv.geom_enabled()
+    pallas_conv.set_geom_enabled(False)
     if jax.default_backend() == 'cpu':
         pallas_conv.set_interpret(True)
         pallas_tp.set_interpret(True)
@@ -240,6 +244,7 @@ def test_conv_chunked_fused_piece_matches_whole(md_setup, monkeypatch):
         pallas_tp.enable(False)
         pallas_conv.set_interpret(False)
         pallas_tp.set_interpret(False)
+        pallas_conv.set_geom_enabled(geom_was)
     assert calls['n'] > 0, 'fused piece never engaged'
     np.testing.assert_allclose(float(e_c), float(e_ref), rtol=2e-6)
     np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),

@@ -19,16 +19,18 @@ def interpret_mode():
     pallas_conv.set_interpret(True)
     pallas_tp.set_interpret(True)
     mode = pallas_conv._CG_MODE
+    geom = pallas_conv.geom_enabled()
     yield
     pallas_conv.set_interpret(False)
     pallas_tp.set_interpret(False)
     pallas_tp.enable(False)
+    pallas_conv.set_geom_enabled(geom)
     if pallas_conv._CG_MODE != mode:
         pallas_conv.set_cg_mode(mode)
         pallas_conv.make_fused_conv.cache_clear()
 
 
-@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed', 'cm'])
+@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed', 'cm', 'cmshared', 'cmhyb'])
 def test_fused_conv_matches_xla_model(cg_mode):
     pallas_conv.set_cg_mode(cg_mode)
     pallas_conv.make_fused_conv.cache_clear()
@@ -82,15 +84,21 @@ def test_fused_conv_matches_xla_lmax3():
     )
 
 
-@pytest.mark.parametrize('cg_mode', ['fullwidth', 'cm'])
-def test_fused_agg_conv_matches_xla_md_engine(cg_mode):
+@pytest.mark.parametrize('cg_mode,geom', [
+    ('fullwidth', False), ('cm', False), ('cmshared', False),
+    ('cmhyb', False), ('cmshared', True),
+])
+def test_fused_agg_conv_matches_xla_md_engine(cg_mode, geom):
     """Dense neighbor-grid MD path: the in-kernel-aggregated fused conv
     (agg_d > 0 -> node-row output, block-diagonal MXU reduction) must
-    match the XLA dense-reduction path for energy AND forces."""
+    match the XLA dense-reduction path for energy AND forces. geom=True
+    additionally computes Bessel/cutoff/SH inside the kernel with the
+    backward emitting d(edge_vec) directly (GeomSpec)."""
     from samples import rattled_rocksalt
     from sevennet_exp_tpu.md.engine import MolecularDynamics
 
     pallas_conv.set_cg_mode(cg_mode)
+    pallas_conv.set_geom_enabled(geom)
     pallas_conv.make_fused_conv.cache_clear()
     model = build_e3_equivariant_model(tiny_model_config())
     params, _ = model.init(jax.random.PRNGKey(0))
@@ -105,4 +113,37 @@ def test_fused_agg_conv_matches_xla_md_engine(cg_mode):
 
     np.testing.assert_allclose(float(e_fused), float(e_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(f_fused), np.asarray(f_ref),
+                               atol=1e-3)
+
+
+def test_geom_packed_chunked_matches_whole():
+    """Geometry-fused packed-chunked path (EDGE_GEOM_PACKED: 3-column
+    packed edge vectors, per-chunk geom kernel with in-kernel
+    Bessel/cutoff/SH and a d(edge_vec)-emitting backward) must
+    reproduce the whole-array XLA E/F. Asserts the geom regime
+    actually engaged."""
+    from samples import rattled_rocksalt
+    from sevennet_exp_tpu.md.engine import MolecularDynamics
+
+    pallas_conv.set_cg_mode('cmshared')
+    pallas_conv.set_geom_enabled(True)
+    pallas_conv.make_fused_conv.cache_clear()
+    model = build_e3_equivariant_model(tiny_model_config())
+    params, _ = model.init(jax.random.PRNGKey(2))
+    at = rattled_rocksalt(reps=3, a=3.2, rattle=0.05, seed=3)
+    md = MolecularDynamics(model, params, at, skin=0.5,
+                           use_pallas=False)
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    pallas_tp.enable(True)
+    md_c = MolecularDynamics(model, params, at, skin=0.5,
+                             conv_chunk_atoms=16)
+    assert md_c.conv_chunk_rows > 0
+    assert md_c._geom_packed_ok(), 'geom packed regime did not engage'
+    nl_c = md_c._compact_nl(md_c._build_nl(md_c.state.pos),
+                            md_c.state.pos)
+    e_c, f_c = md_c._ef_fn(md.state.pos, nl_c)
+    np.testing.assert_allclose(float(e_c), float(e_ref), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_ref),
                                atol=1e-3)

@@ -122,3 +122,47 @@ def test_device_rebuild_matches_host_rebuild(setup):
     e_ref = float(calc.get_potential_energy(at2))
     np.testing.assert_allclose(f_dev, calc.get_forces(), atol=5e-4)
     assert abs(e_dev - e_ref) < 5e-3
+
+
+@pytest.mark.parametrize('geom', [False, True])
+def test_brick_chunked_conv_matches_whole(setup, geom):
+    """Per-shard memory-chunked convolution in the brick engine
+    (CONV_CHUNK_ROWS over the packed column pipeline, VERDICT r3 #6)
+    must reproduce the whole-array brick E/F. geom=True runs the
+    geometry-fused packed regime (EDGE_GEOM_PACKED) through the
+    interpret-mode pallas kernels; geom=False covers the
+    EDGE_FEAT_PACKED XLA chunk pipeline."""
+    from sevennet_exp_tpu.ops import pallas_conv, pallas_tp
+
+    model, params, at = setup
+    pmd = BrickMolecularDynamics(
+        model, params, at, mesh_shape=(2, 2, 2), ensemble='nve',
+        skin=0.5, use_pallas=False,
+    )
+    e_ref, f_ref = pmd.energy_forces()
+
+    geom_was = pallas_conv.geom_enabled()
+    try:
+        pallas_conv.set_geom_enabled(geom)
+        if geom:
+            pallas_tp.enable(True)
+            pallas_conv.set_interpret(True)
+            pallas_tp.set_interpret(True)
+        pmd_c = BrickMolecularDynamics(
+            model, params, at, mesh_shape=(2, 2, 2), ensemble='nve',
+            skin=0.5, conv_chunk_rows=512,
+            use_pallas=geom,
+        )
+        assert pmd_c.conv_chunk_rows > 0
+        assert pmd_c.conv_chunk_rows < pmd_c.spec.rows, \
+            'chunking did not engage (system too small for the test)'
+        if geom:
+            assert pmd_c._geom_packed_ok()
+        e_c, f_c = pmd_c.energy_forces()
+    finally:
+        pallas_tp.enable(False)
+        pallas_conv.set_interpret(False)
+        pallas_tp.set_interpret(False)
+        pallas_conv.set_geom_enabled(geom_was)
+    assert abs(e_c - e_ref) < 5e-3, (e_c, e_ref)
+    np.testing.assert_allclose(f_c, f_ref, atol=1e-3)
