@@ -182,8 +182,13 @@ def main():
     n_arg = int(sys.argv[1]) if len(sys.argv) > 1 else None
     model, params, temperature, potential = load_potential()
 
+    # the engine auto-enables pallas kernels on non-CPU backends at
+    # construction; mirror that decision here so the parity check runs
+    # on the driver bench (is_enabled() is False before any engine
+    # exists -- checking it alone silently skipped the parity leg)
+    import jax
     parity = None
-    if pallas_tp.is_enabled():
+    if pallas_tp.is_enabled() or jax.default_backend() != 'cpu':
         parity = hardware_parity_check(model, params, dt_fs)
 
     head = measure(model, params, temperature, n_arg or 1000,

@@ -753,17 +753,29 @@ class MolecularDynamics:
                 continue  # capacities/cadence changed; recompute sizes
             outs.append(m)
             steps_done += n_outer * self.rebuild_every
-            # measured watchdog back-off (compile time inflates the
-            # first dispatch, so only dispatches after the first for a
-            # given program count): if device time per dispatch
+            # measured watchdog back-off: if device time per dispatch
             # approaches the budget, shrink the chunk count; at 1 chunk
-            # already, fall back to step-wise host dispatch
-            if getattr(self, '_timed_once', False) and elapsed > budget:
+            # already, fall back to step-wise host dispatch. Compile
+            # time inflates the FIRST dispatch of every distinct
+            # program signature (each (caps, cadence, n_outer) pair is
+            # its own XLA program, 30-60 s to compile over the
+            # tunneled backend), so only re-executions of an
+            # already-run signature count -- a single engine-wide
+            # first-dispatch flag let warmup cap/cadence moves mint
+            # fresh programs whose compile stalls read as "slow
+            # dispatch" and wrongly degraded 1k MD to step-wise mode
+            # (~19 -> ~13 ms/step, caught on the round-4 bench).
+            sig = (getattr(self, '_chunk_key', None), n_outer,
+                   self.rebuild_every)
+            timed = getattr(self, '_timed_sigs', None)
+            if timed is None:
+                timed = self._timed_sigs = set()
+            if sig in timed and elapsed > budget:
                 if n_outer > 1:
                     self._dyn_outer_cap = max(1, n_outer // 2)
                 elif self.n < self.stepwise_threshold:
                     self.stepwise_threshold = self.n  # force step-wise
-            self._timed_once = True
+            timed.add(sig)
         return {
             kk: np.concatenate([o[kk] for o in outs]) for kk in outs[0]
         }

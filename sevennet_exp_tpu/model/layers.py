@@ -861,7 +861,8 @@ class IrrepsConvolution:
             out = out[:x.shape[0]]
         elif dd is not None and rev is not None:
             xg = gather_rev(x, edge_src, rev, edge_dst, dense_d=dd)
-            if (self._geom_eligible(data, xg.shape[0], dd)
+            if (pallas_conv.geom_dense_enabled()
+                    and self._geom_eligible(data, xg.shape[0], dd)
                     and KEY.EDGE_VEC in data):
                 out = self._rows_to_nodes_geom(
                     params, xg, data[KEY.EDGE_VEC],

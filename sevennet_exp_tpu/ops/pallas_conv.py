@@ -123,6 +123,27 @@ def geom_enabled() -> bool:
     return _GEOM_ENABLED
 
 
+# Dense whole-array path: geometry fusion is OFF by default there.
+# EdgeEmbedding computes Bessel/SH once per force call and all layers
+# share the arrays; the geom kernel recomputes geometry inside EVERY
+# layer's fwd AND bwd kernel, which measured ~1 ms/step SLOWER at 1k
+# on v5e (10.14 -> 9.07 ns/day, bench logs 2026-08-18). On the packed
+# chunked path the trade flips: the shared arrays would be (E,
+# n_basis+n_sh) HBM-resident columns, and in-kernel geometry replaces
+# that traffic with a 3-column read -- geom stays default-on there.
+_GEOM_DENSE = _os.environ.get(
+    'SEVENNET_GEOM_DENSE', '0').lower() in ('1', 'true', 'on')
+
+
+def set_geom_dense(flag: bool):
+    global _GEOM_DENSE
+    _GEOM_DENSE = bool(flag)
+
+
+def geom_dense_enabled() -> bool:
+    return _GEOM_DENSE
+
+
 def _iota_blockdiag(rows: int, cols: int, group: int, transpose=False):
     """0/1 matrix M[r, c] = (c // group == r) as f32 (or its transpose)
     built from iotas in-kernel (pallas rejects captured array

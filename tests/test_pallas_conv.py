@@ -20,11 +20,13 @@ def interpret_mode():
     pallas_tp.set_interpret(True)
     mode = pallas_conv._CG_MODE
     geom = pallas_conv.geom_enabled()
+    geom_dense = pallas_conv.geom_dense_enabled()
     yield
     pallas_conv.set_interpret(False)
     pallas_tp.set_interpret(False)
     pallas_tp.enable(False)
     pallas_conv.set_geom_enabled(geom)
+    pallas_conv.set_geom_dense(geom_dense)
     if pallas_conv._CG_MODE != mode:
         pallas_conv.set_cg_mode(mode)
         pallas_conv.make_fused_conv.cache_clear()
@@ -99,6 +101,10 @@ def test_fused_agg_conv_matches_xla_md_engine(cg_mode, geom):
 
     pallas_conv.set_cg_mode(cg_mode)
     pallas_conv.set_geom_enabled(geom)
+    # dense-path geometry fusion is default-off (slower on hardware:
+    # per-layer geometry recompute vs the once-per-call shared arrays);
+    # force it on here to keep the kernel covered
+    pallas_conv.set_geom_dense(geom)
     pallas_conv.make_fused_conv.cache_clear()
     model = build_e3_equivariant_model(tiny_model_config())
     params, _ = model.init(jax.random.PRNGKey(0))
