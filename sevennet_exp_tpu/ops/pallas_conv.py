@@ -514,7 +514,7 @@ def make_fused_conv(
     tp_spec: UVUTensorProductSpec,
     mlp_spec: FullyConnectedNetSpec,
     si2_spec: LinearSpec,
-    block_e: int = 256,
+    block_e: int = 1024,
     agg_d: int = 0,
     geom: 'GeomSpec | None' = None,
 ):
@@ -1193,9 +1193,34 @@ def make_fused_conv(
 
     _cparams = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
+    def _pad_rows(a, ep, fill=0.0):
+        """Pad edge-row arrays to the block-aligned count ep. Pad rows
+        are inert: ms rows are zero (w_eff -> 0 kills their messages
+        fwd and bwd) and padded output/cotangent rows are sliced off."""
+        e = a.shape[0]
+        if e == ep:
+            return a
+        if fill == 0.0:
+            pad = jnp.zeros((ep - e,) + a.shape[1:], a.dtype)
+        else:
+            pad = jnp.full((ep - e,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    def _pad_e(e):
+        """Smallest block-aligned row count >= e. Lets callers use
+        blocks that do not divide the natural row count (e.g. E=32000
+        with 1024-row blocks): pad rows cost <= one extra block."""
+        unit = fwd_block * bwd_block // math.gcd(fwd_block, bwd_block)
+        return -(-e // unit) * unit
+
     def fwd_call(xg, sh, emb, ms, mlp_ws, si2_ws):
         e = xg.shape[0]
-        assert e % fwd_block == 0 and e % bwd_block == 0
+        ep = _pad_e(e)
+        if ep != e:
+            xg, sh, emb, ms = (_pad_rows(xg, ep), _pad_rows(sh, ep),
+                               _pad_rows(emb, ep), _pad_rows(ms, ep))
+            out = fwd_call(xg, sh, emb, ms, mlp_ws, si2_ws)
+            return out[:e // agg_d if agg_d else e]
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
         n_out = e // agg_d if agg_d else e
@@ -1222,21 +1247,44 @@ def make_fused_conv(
     # need edge blocks that are multiples of agg_d.
     import os
     width = d1 + d_out + w_numel
-    fwd_target = 256 if width <= 2200 else 128
-    bwd_target = 256 if width <= 2200 else 64
+    # 1024-row blocks measured +4% over 256 on the 1k bench (v5e,
+    # 2026-08-19: 25.11 vs 24.19 ns/day; 2048 regressed to 24.77) --
+    # wider node-row outputs lift the narrow-N agg/si2 dots. Row
+    # padding (_pad_e) makes non-dividing row counts legal.
+    fwd_target = 1024 if width <= 2200 else 128
+    bwd_target = 1024 if width <= 2200 else 64
     if agg_d:
         fwd_block = agg_block_unit(agg_d, min(block_e, fwd_target))
         bwd_block = agg_block_unit(agg_d, min(block_e, bwd_target))
     else:
         fwd_block = min(block_e, fwd_target)
         bwd_block = min(block_e, bwd_target)
-    # perf-tuning overrides (benchmarks only; normal paths use defaults)
-    fwd_block = int(os.environ.get('SEVENNET_CONV_FWD_BLOCK', fwd_block))
-    bwd_block = int(os.environ.get('SEVENNET_CONV_BWD_BLOCK', bwd_block))
+    # perf-tuning overrides (benchmarks only; normal paths use
+    # defaults). Snap to a legal block: aggregated kernels need the
+    # edge block to be a multiple of agg_d with the node-row output
+    # block a multiple of 8 sublanes -- a raw override (e.g. 1024 at
+    # deg_cap 28) silently mis-slices the output grid otherwise
+    # (caught 2026-08-18: dF jumped 300x with no error raised).
+    def _snap(v):
+        v = int(v)
+        return agg_block_unit(agg_d, v) if agg_d else max(8, v)
+    fwd_block = _snap(os.environ.get('SEVENNET_CONV_FWD_BLOCK',
+                                     fwd_block))
+    bwd_block = _snap(os.environ.get('SEVENNET_CONV_BWD_BLOCK',
+                                     bwd_block))
 
     def bwd_call(res, g):
         xg, sh, emb, ms, mlp_ws, si2_ws = res
         e = xg.shape[0]
+        ep = _pad_e(e)
+        if ep != e:
+            gp = _pad_rows(g, ep // agg_d if agg_d else ep)
+            res_p = (_pad_rows(xg, ep), _pad_rows(sh, ep),
+                     _pad_rows(emb, ep), _pad_rows(ms, ep),
+                     mlp_ws, si2_ws)
+            out = bwd_call(res_p, gp)
+            return (out[0][:e], out[1][:e], out[2][:e],
+                    jnp.zeros_like(ms)) + out[4:]
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
         g_rows = bwd_block // agg_d if agg_d else bwd_block
@@ -1265,7 +1313,16 @@ def make_fused_conv(
 
     def fwd_call_geom(xg, vec, ms, coeffs, mlp_ws, si2_ws):
         e = xg.shape[0]
-        assert e % fwd_block == 0 and e % bwd_block == 0
+        ep = _pad_e(e)
+        if ep != e:
+            # pad vec with unit x-vectors: r=0 rows would NaN the
+            # in-kernel Bessel/SH; ms=0 kills their messages anyway
+            vp = jnp.concatenate([vec, jnp.tile(jnp.asarray(
+                [[1.0, 0.0, 0.0]], vec.dtype), (ep - e, 1))])
+            out = fwd_call_geom(_pad_rows(xg, ep), vp,
+                                _pad_rows(ms, ep), coeffs,
+                                mlp_ws, si2_ws)
+            return out[:e // agg_d if agg_d else e]
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
         n_out = e // agg_d if agg_d else e
@@ -1290,6 +1347,16 @@ def make_fused_conv(
     def bwd_call_geom(res, g):
         xg, vec, ms, coeffs, mlp_ws, si2_ws = res
         e = xg.shape[0]
+        ep = _pad_e(e)
+        if ep != e:
+            vp = jnp.concatenate([vec, jnp.tile(jnp.asarray(
+                [[1.0, 0.0, 0.0]], vec.dtype), (ep - e, 1))])
+            gp = _pad_rows(g, ep // agg_d if agg_d else ep)
+            out = bwd_call_geom(
+                (_pad_rows(xg, ep), vp, _pad_rows(ms, ep), coeffs,
+                 mlp_ws, si2_ws), gp)
+            return (out[0][:e], out[1][:e],
+                    jnp.zeros_like(ms)) + out[3:]
         mlp_shapes = [w.shape for w in mlp_ws]
         si2_shapes = [w.shape for w in si2_ws]
         g_rows = bwd_block // agg_d if agg_d else bwd_block
