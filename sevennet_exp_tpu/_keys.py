@@ -57,6 +57,10 @@ LABEL_NONE = 'No_label'
 NODE_MASK = 'node_mask'                 # (N,) 1.0 for real atoms
 EDGE_MASK = 'edge_mask'                 # (E,)
 EDGE_REV = 'edge_rev'                   # (E,) reverse-edge permutation
+EDGE_HALF = 'edge_half'                 # (E//2,) representative edge per
+#   undirected pair (sentinel E past the real count); half-list MLP
+EDGE_PAIR = 'edge_pair'                 # (E,) pair id of each edge in
+#   the half list (pad rows hold 0 -- masked to zero anyway)
 #   (present only when the edge list is symmetric + dst-sorted; enables
 #   sorted-scatter aggregation, see ops/scatter.py)
 EDGE_DENSE_D = 'edge_dense_d'           # python int (in-trace static):

@@ -384,6 +384,42 @@ class IrrepsConvolution:
             return agg
         return self.si2.apply(params['si2'], agg, skip_bias=True)
 
+    def _rows_to_nodes_extw(self, params, xg, sh, w_eff, dd):
+        """External-weight variant of _rows_to_nodes: the per-edge
+        radial weights (already mask/denominator-scaled) are computed
+        outside the kernel -- on the E/2 half list as one big XLA
+        matmul chain (see apply) -- and the kernel runs the pure CG
+        contraction + si2 + aggregation."""
+        si2_ws = tuple(
+            params['si2'][f'w{n}'].astype(xg.dtype)
+            for n in range(len(self.si2.paths))
+        )
+        fusedw, _ = pallas_conv.make_fused_conv(
+            self.tp, self.weight_nn, self.si2, agg_d=dd, ext_w=True
+        )
+        return fusedw(xg, sh, w_eff.astype(xg.dtype), si2_ws)
+
+    def _half_mlp_w(self, params, data, emb, scale, rev, x_dtype):
+        """Per-edge radial weights via the half list: MLP on the E/2
+        representative rows (|r| is reversal-symmetric, so emb rows
+        pair up bitwise), spread to both directed edges by a gather
+        with a scatter-free VJP, then mask/denominator-scaled. Halves
+        the radial-MLP MACs -- the largest single FLOP consumer in the
+        roofline audit (BENCH_NOTES.md round 4)."""
+        from ..ops.scatter import half_pair_indices, pair_spread
+
+        half = data.get(KEY.EDGE_HALF)
+        pair = data.get(KEY.EDGE_PAIR)
+        if half is None:
+            half, pair = half_pair_indices(rev)
+            data[KEY.EDGE_HALF] = half
+            data[KEY.EDGE_PAIR] = pair
+        e_cap = emb.shape[0]
+        emb_half = emb[jnp.minimum(half, e_cap - 1)]
+        w_half = self.weight_nn.apply(params['weight_nn'], emb_half)
+        return pair_spread(w_half.astype(x_dtype), pair, half,
+                           rev) * scale
+
     def _geom_eligible(self, data, rows: int, dd) -> bool:
         return (
             self.geom is not None
@@ -868,6 +904,11 @@ class IrrepsConvolution:
                     params, xg, data[KEY.EDGE_VEC],
                     data[KEY.EDGE_BESSEL_COEFFS], scale, dd,
                 )
+            elif (pallas_conv.half_mlp_enabled()
+                    and self._fused_eligible(xg.shape[0], dd)):
+                w_eff = self._half_mlp_w(params, data, emb, scale, rev,
+                                         x.dtype)
+                out = self._rows_to_nodes_extw(params, xg, sh, w_eff, dd)
             else:
                 out = self._rows_to_nodes(params, xg, sh, emb, scale, dd)
             out = out[:x.shape[0]]

@@ -144,6 +144,28 @@ def geom_dense_enabled() -> bool:
     return _GEOM_DENSE
 
 
+# Half-list radial MLP (dense whole-array path): the radial embedding
+# is symmetric under edge reversal (|r_ij| == |r_ji| bitwise), so the
+# per-layer radial MLP runs on the E/2 representative edges as one
+# big XLA matmul chain and its rows are spread to both directed edges
+# by a gather (ops/scatter.py::pair_spread). The conv kernels take the
+# precomputed per-edge weights (ext_w) instead of running the MLP
+# per block in-kernel -- a ~50% MAC cut on the model's single biggest
+# FLOP consumer (the 66k-MAC/row radial MLP of the roofline audit,
+# BENCH_NOTES.md round 4) and fewer narrow K=8 dots inside Mosaic.
+_HALF_MLP = _os.environ.get(
+    'SEVENNET_HALF_MLP', '1').lower() not in ('0', 'false', 'off')
+
+
+def set_half_mlp(flag: bool):
+    global _HALF_MLP
+    _HALF_MLP = bool(flag)
+
+
+def half_mlp_enabled() -> bool:
+    return _HALF_MLP and _CG_MODE in ('cm', 'cmshared', 'cmhyb')
+
+
 def _iota_blockdiag(rows: int, cols: int, group: int, transpose=False):
     """0/1 matrix M[r, c] = (c // group == r) as f32 (or its transpose)
     built from iotas in-kernel (pallas rejects captured array
@@ -517,6 +539,7 @@ def make_fused_conv(
     block_e: int = 1024,
     agg_d: int = 0,
     geom: 'GeomSpec | None' = None,
+    ext_w: bool = False,
 ):
     """fused(xg, sh, emb, maskscale, mlp_ws, si2_ws) -> y, or -- with
     geom set -- fused(xg, edge_vec, maskscale, bessel_coeffs, mlp_ws,
@@ -1106,6 +1129,33 @@ def make_fused_conv(
         dpre0 = dh0 * _act_grad(pre0, act_name)
         demb_ref[...] = _dot(dpre0, (w0 / math.sqrt(w0.shape[0])).T)
 
+    # ---- external-weight kernels (ext_w): the radial MLP runs
+    # OUTSIDE the kernel (one big XLA matmul chain over the half
+    # list, see half_mlp_enabled above); the kernel consumes the
+    # already-scaled per-edge weights and its backward emits dw_eff
+    # rows for XLA to route through the MLP/pair-gather VJPs --------
+
+    def fwd_kernel_cm_w(xg_ref, sh_ref, weff_ref, *rest):
+        si2_refs = rest[:n_si2]
+        fw_refs = rest[n_si2:n_si2 + n_fw]
+        out_ref = rest[-1]
+        out_ref[...] = _cm_fwd_core(
+            xg_ref[...].T, sh_ref[...].T, weff_ref[...].T,
+            xg_ref.shape[0], si2_refs, fw_refs,
+        )
+
+    def bwd_kernel_cm_w(g_ref, xg_ref, sh_ref, weff_ref, *refs):
+        si2_refs = refs[:n_si2]
+        fw_refs = refs[n_si2:n_si2 + n_fw]
+        dxg_ref, dsh_ref, dweff_ref = refs[-3:]
+        dxgT, dshT, dw_effT = _cm_bwd_core(
+            g_ref[...].T, xg_ref[...].T, sh_ref[...].T,
+            weff_ref[...].T, xg_ref.shape[0], si2_refs, fw_refs,
+        )
+        dxg_ref[...] = dxgT.T
+        dsh_ref[...] = dshT.T
+        dweff_ref[...] = dw_effT.T
+
     # ---- geometry-fused kernels ('geom'): edge vector in, Bessel +
     # cutoff + SH computed in-kernel; backward emits d(edge_vec)
     # directly via jax.vjp over the traced geometry ------------------
@@ -1384,6 +1434,81 @@ def make_fused_conv(
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dvec, jnp.zeros_like(ms), jnp.zeros_like(coeffs),
                 zeros_mlp, zeros_si2)
+
+    def fwd_call_w(xg, sh, weff, si2_ws):
+        e = xg.shape[0]
+        ep = _pad_e(e)
+        if ep != e:
+            out = fwd_call_w(_pad_rows(xg, ep), _pad_rows(sh, ep),
+                             _pad_rows(weff, ep), si2_ws)
+            return out[:e // agg_d if agg_d else e]
+        si2_shapes = [w.shape for w in si2_ws]
+        n_out = e // agg_d if agg_d else e
+        out_rows = fwd_block // agg_d if agg_d else fwd_block
+        return pl.pallas_call(
+            fwd_kernel_cm_w,
+            out_shape=jax.ShapeDtypeStruct((n_out, d_out), xg.dtype),
+            grid=(e // fwd_block,),
+            in_specs=(
+                _especs([d1, f, w_numel], fwd_block)
+                + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
+            ),
+            out_specs=_especs([d_out], out_rows)[0],
+            interpret=_INTERPRET,
+            compiler_params=_cparams,
+        )(xg, sh, weff, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
+
+    def bwd_call_w(res, g):
+        xg, sh, weff, si2_ws = res
+        e = xg.shape[0]
+        ep = _pad_e(e)
+        if ep != e:
+            gp = _pad_rows(g, ep // agg_d if agg_d else ep)
+            out = bwd_call_w((_pad_rows(xg, ep), _pad_rows(sh, ep),
+                              _pad_rows(weff, ep), si2_ws), gp)
+            return (out[0][:e], out[1][:e], out[2][:e]) + out[3:]
+        si2_shapes = [w.shape for w in si2_ws]
+        g_rows = bwd_block // agg_d if agg_d else bwd_block
+        dxg, dsh, dweff = pl.pallas_call(
+            bwd_kernel_cm_w,
+            out_shape=(
+                jax.ShapeDtypeStruct((e, d1), xg.dtype),
+                jax.ShapeDtypeStruct((e, f), xg.dtype),
+                jax.ShapeDtypeStruct((e, w_numel), xg.dtype),
+            ),
+            grid=(e // bwd_block,),
+            in_specs=(
+                _especs([d_out], g_rows)
+                + _especs([d1, f, w_numel], bwd_block)
+                + _wspecs(si2_shapes)
+                + _wspecs([c.shape for c in fw_inputs])
+            ),
+            out_specs=tuple(_especs([d1, f, w_numel], bwd_block)),
+            interpret=_INTERPRET,
+            compiler_params=_cparams,
+        )(g, xg, sh, weff, *si2_ws,
+          *[jnp.asarray(c) for c in fw_inputs])
+        zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
+        return (dxg, dsh, dweff, zeros_si2)
+
+    if ext_w:
+        assert use_cm, 'ext_w kernels are feature-major (cm) only'
+        assert geom is None
+
+        @jax.custom_vjp
+        def fusedw(xg, sh, weff, si2_ws):
+            return fwd_call_w(xg, sh, weff, si2_ws)
+
+        def fusedw_fwd(xg, sh, weff, si2_ws):
+            return (fwd_call_w(xg, sh, weff, si2_ws),
+                    (xg, sh, weff, si2_ws))
+
+        fusedw.defvjp(fusedw_fwd, bwd_call_w)
+        fusedw.fwd_only = fwd_call_w
+        fusedw.bwd_only = bwd_call_w
+        return fusedw, d_out
 
     if geom is not None:
         assert use_cm, 'geom kernels are feature-major (cm) only'

@@ -119,6 +119,59 @@ def reverse_permutation(edge_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(a).at[a].set(b)
 
 
+def half_pair_indices(rev: jnp.ndarray):
+    """Static-shape half list over a symmetric edge list.
+
+    Contract (md/engine.py::_compact_nl): real edges pair (e, rev[e])
+    with rev[e] != e; pad rows are self-edges and rev FIXED POINTS, so
+    exactly n_real/2 <= E/2 rows satisfy e < rev[e]. Returns
+
+      half (E//2,) int32 -- representative edge index per pair; unused
+          tail entries hold the sentinel E (count is data-dependent,
+          capacity is static).
+      pair (E,) int32 -- position of each edge's representative in the
+          half list. Pad rows keep pair = 0, which is harmless: their
+          mask/scale is 0, so whatever weight row they read multiplies
+          to zero in both the forward and the backward.
+    """
+    e_cap = rev.shape[0]
+    iota = jnp.arange(e_cap, dtype=rev.dtype)
+    (half,) = jnp.nonzero(iota < rev, size=e_cap // 2,
+                          fill_value=e_cap)
+    half = half.astype(jnp.int32)
+    p = jnp.arange(e_cap // 2, dtype=jnp.int32)
+    hs = jnp.minimum(half, e_cap - 1)
+    revhalf = jnp.where(half < e_cap, rev[hs].astype(jnp.int32), e_cap)
+    pair = jnp.zeros(e_cap, jnp.int32).at[half].set(p, mode='drop')
+    pair = pair.at[revhalf].set(p, mode='drop')
+    return half, pair
+
+
+def pair_spread(w_half: jnp.ndarray, pair: jnp.ndarray,
+                half: jnp.ndarray, rev: jnp.ndarray) -> jnp.ndarray:
+    """(E//2, W) per-pair rows -> (E, W) per-edge rows via the pair
+    index, with a scatter-free backward: each half row's cotangent is
+    the sum of its two directed edges' cotangents, both plain gathers
+    (the half-MLP sibling of gather_rev)."""
+    e_cap = pair.shape[0]
+
+    @jax.custom_vjp
+    def g(wh):
+        return wh[pair]
+
+    def g_fwd(wh):
+        return wh[pair], None
+
+    def g_bwd(_, ct):
+        hs = jnp.minimum(half, e_cap - 1)
+        d = ct[hs] + ct[rev[hs]]
+        d = jnp.where((half < e_cap)[:, None], d, 0.0)
+        return (d,)
+
+    g.defvjp(g_fwd, g_bwd)
+    return g(w_half)
+
+
 def pack_cols(cols, g: int) -> jnp.ndarray:
     """W 1-D (E,) columns -> one (E/g, W*g) array, feature-major groups
     (column w occupies lanes [w*g, (w+1)*g); row r covers edges

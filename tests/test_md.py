@@ -197,6 +197,94 @@ def test_conv_chunked_matches_whole(md_setup):
                                atol=2e-5)
 
 
+def test_half_pair_indices_roundtrip():
+    """half/pair must invert each other on real edges; pad rows (rev
+    fixed points) keep pair = 0 and never enter the half list."""
+    from sevennet_exp_tpu.ops.scatter import (
+        half_pair_indices, pair_spread, reverse_permutation,
+    )
+
+    # dense-grid style list: 3 atoms x D=4 slots, some pad self-edges
+    dst = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2])
+    src = jnp.asarray([1, 2, 0, 0, 0, 2, 1, 1, 0, 1, 2, 2])
+    edge_idx = jnp.stack([dst, src])
+    rev = reverse_permutation(edge_idx)
+    half, pair = jax.jit(half_pair_indices)(rev)
+    e_cap = dst.shape[0]
+    real = np.asarray(dst != src)
+    hn, pn, rn = np.asarray(half), np.asarray(pair), np.asarray(rev)
+    n_real = int(real.sum())
+    assert (hn < e_cap).sum() == n_real // 2
+    for e in np.nonzero(real)[0]:
+        m = min(e, rn[e])
+        assert hn[pn[e]] == m
+    # pair_spread: forward is the gather; backward (gather-by-rev)
+    # must equal the plain scatter-add VJP where the forward reads it
+    wh = jnp.asarray(np.random.RandomState(0).randn(e_cap // 2, 5),
+                     jnp.float32)
+    scale = jnp.asarray(real, jnp.float32)[:, None]
+    f_custom = lambda w: jnp.sum(
+        (pair_spread(w, pair, half, rev) * scale) ** 2)
+    f_plain = lambda w: jnp.sum((w[pair] * scale) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_custom)(wh)),
+        np.asarray(jax.grad(f_plain)(wh)), rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_half_mlp_dense_matches_xla(md_setup):
+    """The half-list radial MLP + ext_w kernel on the dense-grid path
+    must reproduce the plain XLA whole-array E/F (the radial embedding
+    is reversal-symmetric, so sharing MLP rows across (e, rev[e]) is
+    exact). Asserts the ext_w kernel actually engaged."""
+    from sevennet_exp_tpu.ops import pallas_conv, pallas_tp
+
+    model, params, at = md_setup
+    md = MolecularDynamics(
+        model, params, at, dt_fs=1.0, temperature_K=300.0,
+        ensemble='nvt', rebuild_every=5, seed=0,
+    )
+    nl = md._compact_nl(md._build_nl(md.state.pos), md.state.pos)
+    e_ref, f_ref = md._ef_fn(md.state.pos, nl)
+
+    calls = {'n': 0}
+    orig = pallas_conv.make_fused_conv
+
+    def counting(*a, **kw):
+        if kw.get('ext_w'):
+            calls['n'] += 1
+        return orig(*a, **kw)
+
+    pallas_tp.enable(True)
+    geom_was = pallas_conv.geom_dense_enabled()
+    pallas_conv.set_geom_dense(False)
+    pallas_conv.set_half_mlp(True)
+    if jax.default_backend() == 'cpu':
+        pallas_conv.set_interpret(True)
+        pallas_tp.set_interpret(True)
+    try:
+        from sevennet_exp_tpu.model import layers as layers_mod
+        import unittest.mock as mock
+        with mock.patch.object(layers_mod.pallas_conv,
+                               'make_fused_conv', counting):
+            md_h = MolecularDynamics(
+                model, params, at, dt_fs=1.0, temperature_K=300.0,
+                ensemble='nvt', rebuild_every=5, seed=0,
+            )
+            nl_h = md_h._compact_nl(md_h._build_nl(md_h.state.pos),
+                                    md_h.state.pos)
+            e_h, f_h = md_h._ef_fn(md.state.pos, nl_h)
+    finally:
+        pallas_tp.enable(False)
+        pallas_conv.set_interpret(False)
+        pallas_tp.set_interpret(False)
+        pallas_conv.set_geom_dense(geom_was)
+    assert calls['n'] > 0, 'ext_w kernel never engaged'
+    np.testing.assert_allclose(float(e_h), float(e_ref), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(f_h), np.asarray(f_ref),
+                               atol=2e-5)
+
+
 def test_conv_chunked_fused_piece_matches_whole(md_setup, monkeypatch):
     """The packed-chunked path's single-custom_vjp fused piece (gather +
     unpack + kernel, no kernel-forward remat) must reproduce the plain
