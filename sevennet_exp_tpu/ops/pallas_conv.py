@@ -153,8 +153,16 @@ def geom_dense_enabled() -> bool:
 # per block in-kernel -- a ~50% MAC cut on the model's single biggest
 # FLOP consumer (the 66k-MAC/row radial MLP of the roofline audit,
 # BENCH_NOTES.md round 4) and fewer narrow K=8 dots inside Mosaic.
+#
+# OPT-IN until measured faster on hardware: this path shipped in the
+# round-4 end-of-round snapshot with a default-on flag and no v5e
+# measurement; the round-4 driver bench ran it blind at 10.9 ns/day
+# vs 25.1 on the in-kernel-MLP path (the half-list bookkeeping --
+# jnp.nonzero + scatters every force call + the ext_w kernel variant
+# -- cost more at 1k than the saved MACs). Re-enable by default only
+# with a committed measurement showing a win (BENCH_NOTES).
 _HALF_MLP = _os.environ.get(
-    'SEVENNET_HALF_MLP', '1').lower() not in ('0', 'false', 'off')
+    'SEVENNET_HALF_MLP', '0').lower() not in ('0', 'false', 'off')
 
 
 def set_half_mlp(flag: bool):
@@ -163,6 +171,13 @@ def set_half_mlp(flag: bool):
 
 
 def half_mlp_enabled() -> bool:
+    # RESTRICTION (advisor round 4): half_pair_indices assumes no REAL
+    # edge is a rev fixed point (rev[e] != e whenever mask[e] = 1).
+    # This holds for the MIC neighbor lists and the brick grid built
+    # in this repo (a self-image edge would need cell < 2*cutoff with
+    # shift-vector lists, which no current builder produces); a real
+    # self-paired edge would be silently dropped from the half list.
+    # Re-check this contract before enabling on any new list builder.
     return _HALF_MLP and _CG_MODE in ('cm', 'cmshared', 'cmhyb')
 
 
@@ -1301,14 +1316,72 @@ def make_fused_conv(
     # 2026-08-19: 25.11 vs 24.19 ns/day; 2048 regressed to 24.77) --
     # wider node-row outputs lift the narrow-N agg/si2 dots. Row
     # padding (_pad_e) makes non-dividing row counts legal.
+    #
+    # PER-VARIANT: the geom kernels compute Bessel/cutoff/SH (and
+    # their VJPs) in-kernel, so their live per-row scratch is much
+    # larger than the plain kernels'; at 1024-row blocks the geom bwd
+    # blew XLA's 16 MiB scoped-VMEM budget around the custom call
+    # (28.19 MiB measured on the round-4 driver bench, the 97k leg's
+    # compile failure). The geom kernels stay at the round-3/4
+    # measured-good 256 rows (97k 1.50 s/step); _fits_scoped_vmem
+    # below enforces the calibrated budget for every variant.
     fwd_target = 1024 if width <= 2200 else 128
     bwd_target = 1024 if width <= 2200 else 64
+    if geom is not None:
+        fwd_target = min(fwd_target, 256)
+        bwd_target = min(bwd_target, 256)
+
+    def _fits_scoped_vmem(rows: int, is_bwd: bool) -> bool:
+        """Calibrated scoped-VMEM model for XLA's fusion around the
+        pallas custom call. XLA's default scoped budget is 16 MiB
+        (raisable via --xla_tpu_scoped_vmem_limit_kib, NOT via the
+        Mosaic vmem_limit_bytes compiler param). Calibration point:
+        geom bwd, d1=480, agg mid layer, 1024 rows -> 28.19 MiB
+        (round-4 driver bench OOM), i.e. ~27.5 KiB/row; the model
+        below reproduces it with a 3.4x Mosaic-scratch margin over
+        the raw double-buffered block IO. Plain (precomputed sh/emb)
+        kernels measured fine at 1024 rows on v5e, margin 1.6x."""
+        if geom is not None:
+            # calibration: geom bwd, 1024 rows, d1=480 -> 28.19 MiB
+            # measured (round-4 driver OOM) => margin 3.4
+            in_row, out_row = d1 + 3 + 1, (d1 + 3) if is_bwd else 0
+            margin = 3.4
+        elif ext_w:
+            # bound: ext_w bwd at 1024 rows, deg 32, COMPILED AND RAN
+            # on v5e (round-4 driver bench, 1k half-MLP leg) => actual
+            # margin <= 0.82 for its ~2370 f32/row; 0.75 keeps that
+            # known-good config legal while still capping growth
+            in_row = d1 + f + w_numel
+            out_row = (d1 + f + w_numel) if is_bwd else 0
+            margin = 0.75
+        else:
+            # bound: plain agg bwd at 1024 rows compiled and ran on
+            # v5e (the +4% 1k measurement, commit 11ac76b)
+            in_row = d1 + f + r + 1
+            out_row = (d1 + f + r) if is_bwd else 0
+            margin = 1.6
+        if is_bwd:
+            in_row += -(-d_out // max(agg_d, 1))
+        else:
+            out_row += -(-d_out // max(agg_d, 1))
+        est = 2 * 4 * rows * (in_row + out_row) * margin
+        return est <= 15.5 * 2 ** 20
+
+    def _shrink_to_fit(rows: int, is_bwd: bool) -> int:
+        while rows > (agg_d or 8) and not _fits_scoped_vmem(rows, is_bwd):
+            rows //= 2
+        if agg_d:
+            rows = agg_block_unit(agg_d, rows)
+        return max(rows, agg_d or 8)
+
     if agg_d:
         fwd_block = agg_block_unit(agg_d, min(block_e, fwd_target))
         bwd_block = agg_block_unit(agg_d, min(block_e, bwd_target))
     else:
         fwd_block = min(block_e, fwd_target)
         bwd_block = min(block_e, bwd_target)
+    fwd_block = _shrink_to_fit(fwd_block, is_bwd=False)
+    bwd_block = _shrink_to_fit(bwd_block, is_bwd=True)
     # perf-tuning overrides (benchmarks only; normal paths use
     # defaults). Snap to a legal block: aggregated kernels need the
     # edge block to be a multiple of agg_d with the node-row output
@@ -1508,6 +1581,8 @@ def make_fused_conv(
         fusedw.defvjp(fusedw_fwd, bwd_call_w)
         fusedw.fwd_only = fwd_call_w
         fusedw.bwd_only = bwd_call_w
+        fusedw.blocks = (fwd_block, bwd_block)
+        fusedw.scoped_vmem_fits = _fits_scoped_vmem
         return fusedw, d_out
 
     if geom is not None:
@@ -1524,6 +1599,8 @@ def make_fused_conv(
         fusedg.defvjp(fusedg_fwd, bwd_call_geom)
         fusedg.fwd_only = fwd_call_geom
         fusedg.bwd_only = bwd_call_geom
+        fusedg.blocks = (fwd_block, bwd_block)
+        fusedg.scoped_vmem_fits = _fits_scoped_vmem
         return fusedg, d_out
 
     @jax.custom_vjp
@@ -1541,4 +1618,6 @@ def make_fused_conv(
     # bwd_only(res=(xg, sh, emb, ms, mlp_ws, si2_ws), g) -> cotangents)
     fused.fwd_only = fwd_call
     fused.bwd_only = bwd_call
+    fused.blocks = (fwd_block, bwd_block)
+    fused.scoped_vmem_fits = _fits_scoped_vmem
     return fused, d_out

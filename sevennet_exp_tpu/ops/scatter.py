@@ -147,6 +147,34 @@ def half_pair_indices(rev: jnp.ndarray):
     return half, pair
 
 
+def half_gather(rows: jnp.ndarray, half: jnp.ndarray,
+                pair: jnp.ndarray) -> jnp.ndarray:
+    """(E, W) per-edge rows -> (E//2, W) representative rows via the
+    half index, with a scatter-free backward: a plain gather would VJP
+    into a scatter-add over the (E, W) input on every force backward
+    (the exact pattern gather_rev/pair_spread exist to avoid). Here
+    the cotangent of edge e is its pair's cotangent iff e IS the
+    representative (half[pair[e]] == e), else zero -- a pure
+    gather + mask."""
+    e_cap = pair.shape[0]
+
+    @jax.custom_vjp
+    def g(r):
+        return r[jnp.minimum(half, e_cap - 1)]
+
+    def g_fwd(r):
+        return g(r), None
+
+    def g_bwd(_, ct):
+        iota = jnp.arange(e_cap, dtype=half.dtype)
+        is_rep = jnp.minimum(half, e_cap - 1)[pair] == iota
+        d = jnp.where(is_rep[:, None], ct[pair], 0.0)
+        return (d,)
+
+    g.defvjp(g_fwd, g_bwd)
+    return g(rows)
+
+
 def pair_spread(w_half: jnp.ndarray, pair: jnp.ndarray,
                 half: jnp.ndarray, rev: jnp.ndarray) -> jnp.ndarray:
     """(E//2, W) per-pair rows -> (E, W) per-edge rows via the pair

@@ -81,3 +81,57 @@ def test_recovery_steps_one_rung_with_hysteresis():
     hold['max_disp2'] = np.array([(0.8 * 0.5 * md.md_buffer) ** 2])
     md._postprocess_dispatch(md.state, hold, 1)
     assert md.rebuild_every == 6
+
+
+def test_watchdog_two_strike_and_recovery():
+    """Dispatch watchdog (engine._watchdog): a warm signature must
+    exceed the budget TWICE CONSECUTIVELY before any back-off (one
+    transient relay stall degraded the whole round-4 driver bench),
+    back-offs land in the event log with their reason, and a
+    dyn-capped engine running well under budget earns its chunk count
+    back."""
+    md = _md(rebuild_every=20)
+    budget = 30.0
+    md._chunk_key = ('k',)
+
+    # first sighting of the signature: compile-laden, never counted
+    md._watchdog(4, elapsed=100.0, budget=budget)
+    assert getattr(md, '_dyn_outer_cap', None) is None
+    assert md.dispatch_events == []
+
+    # strike 1 on the now-warm signature: logged, no action
+    md._watchdog(4, elapsed=100.0, budget=budget)
+    assert getattr(md, '_dyn_outer_cap', None) is None
+    assert md.dispatch_events[-1]['action'] == 'strike'
+
+    # a good execution in between resets the strike counter
+    md._watchdog(4, elapsed=1.0, budget=budget)
+    md._watchdog(4, elapsed=100.0, budget=budget)
+    assert getattr(md, '_dyn_outer_cap', None) is None
+
+    # two consecutive over-budget executions: halve
+    md._watchdog(4, elapsed=100.0, budget=budget)
+    assert md._dyn_outer_cap == 2
+    assert md.dispatch_events[-1]['action'] == 'halve_chunks_to_2'
+
+    # recovery: dispatches at the cap, well under budget, double back
+    md._watchdog(2, elapsed=1.0, budget=budget)  # first: warms sig
+    md._watchdog(2, elapsed=1.0, budget=budget)
+    assert md._dyn_outer_cap == 4
+    assert md.dispatch_events[-1]['action'] == 'recover_chunks_to_4'
+
+    rep = md.dispatch_report()
+    assert rep['n_dispatches'] == 7
+    assert rep['dyn_outer_cap'] == 4
+    assert rep['stepwise_forced'] is False
+    assert rep['step_s_min'] <= rep['step_s_med'] <= rep['step_s_max']
+
+
+def test_watchdog_stepwise_at_one_chunk():
+    md = _md(rebuild_every=20)
+    md._chunk_key = ('k',)
+    for _ in range(3):
+        md._watchdog(1, elapsed=100.0, budget=30.0)
+    assert md.stepwise_threshold == md.n
+    assert md.dispatch_events[-1]['action'] in (
+        'force_stepwise', 'already_stepwise')

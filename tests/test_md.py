@@ -257,6 +257,7 @@ def test_half_mlp_dense_matches_xla(md_setup):
 
     pallas_tp.enable(True)
     geom_was = pallas_conv.geom_dense_enabled()
+    half_was = pallas_conv._HALF_MLP
     pallas_conv.set_geom_dense(False)
     pallas_conv.set_half_mlp(True)
     if jax.default_backend() == 'cpu':
@@ -279,6 +280,7 @@ def test_half_mlp_dense_matches_xla(md_setup):
         pallas_conv.set_interpret(False)
         pallas_tp.set_interpret(False)
         pallas_conv.set_geom_dense(geom_was)
+        pallas_conv.set_half_mlp(half_was)
     assert calls['n'] > 0, 'ext_w kernel never engaged'
     np.testing.assert_allclose(float(e_h), float(e_ref), rtol=2e-6)
     np.testing.assert_allclose(np.asarray(f_h), np.asarray(f_ref),
