@@ -38,7 +38,9 @@ from .units import kB
 
 
 class MolecularDynamics:
-    """NVE/NVT MD on one device. Ensemble: 'nve' | 'langevin' | 'nvt'."""
+    """MD on one device. Ensemble: 'nve' | 'langevin' | 'nvt' |
+    'npt' (isotropic Berendsen) | 'npt_aniso' (full-cell/triclinic
+    tensor Berendsen)."""
 
     def __init__(
         self,
@@ -196,7 +198,7 @@ class MolecularDynamics:
         pos0 = jnp.asarray(atoms.pos, dtype=dtype)
         self.state = MDState(
             cell=(jnp.asarray(atoms.cell, dtype=dtype)
-                  if ensemble == 'npt' else None),
+                  if ensemble.startswith('npt') else None),
             pos=pos0, vel=vel,
             forces=jnp.zeros((n, 3), dtype),
             energy=jnp.array(0.0, dtype),
@@ -233,7 +235,7 @@ class MolecularDynamics:
                 # only when every cell width >= 2*r_vdw (NPT: plus the
                 # compression margin)
                 r_vdw_ang = float(np.sqrt(d3.rthr)) * d3mod.AU_TO_ANG
-                if ensemble == 'npt':
+                if ensemble.startswith('npt'):
                     r_vdw_ang *= self.d3_npt_margin
                 if not d3mod.mic_ok(np.asarray(atoms.cell), r_vdw_ang):
                     raise ValueError(
@@ -251,7 +253,7 @@ class MolecularDynamics:
         d = self._d3
         d3mod, eng = d['mod'], d['engine']
         enum_cell = cell_ang.copy()
-        if self.ensemble == 'npt':
+        if self.ensemble.startswith('npt'):
             enum_cell = enum_cell / self.d3_npt_margin
         lat_b = enum_cell / d3mod.AU_TO_ANG
         c = eng.shift_chunk
@@ -558,6 +560,15 @@ class MolecularDynamics:
                 self._efs_fn, self.masses, self.dt, self.temperature_K,
                 self.tdamp, self.pressure, self.pdamp,
             )
+        if self.ensemble == 'npt_aniso':
+            # full-cell (triclinic) barostat: per-axis + shear stress
+            # relax independently (LAMMPS fix npt semantics the
+            # reference relies on; the 'npt' ensemble above is
+            # isotropic-only)
+            return integrate.make_npt_berendsen_aniso_step(
+                self._efs_fn, self.masses, self.dt, self.temperature_K,
+                self.tdamp, self.pressure, self.pdamp,
+            )
         raise ValueError(self.ensemble)
 
     # -- run loop ------------------------------------------------------
@@ -589,7 +600,7 @@ class MolecularDynamics:
         The grid compaction (cheap: ~130 ms at 100k vs ~3 s for the
         cell-list build) still runs every chunk; this is what makes the
         two-tier scheme actually two-tier across chunks."""
-        npt = self.ensemble == 'npt'
+        npt = self.ensemble.startswith('npt')
         if npt:
             # evolving cell: MIC staleness vs old ref is ill-defined;
             # rebuild every chunk (NPT boxes are small today)
@@ -611,7 +622,7 @@ class MolecularDynamics:
 
         @partial(jax.jit, static_argnames=('n_outer', 'k'))
         def chunk(state: MDState, verlet, n_outer: int, k: int):
-            npt = self.ensemble == 'npt'
+            npt = self.ensemble.startswith('npt')
 
             def outer(carry, _):
                 state, verlet = carry
@@ -683,7 +694,8 @@ class MolecularDynamics:
         (re)built eagerly when absent or capacity keys changed."""
         v = getattr(self, '_verlet', None)
         if v is None or getattr(self, '_verlet_cfg', None) != self._verlet_key():
-            cell = self.state.cell if self.ensemble == 'npt' else None
+            cell = (self.state.cell
+                    if self.ensemble.startswith('npt') else None)
             v = self._build_nl(self.state.pos, cell)
             self._verlet = v
             self._verlet_cfg = self._verlet_key()
@@ -694,7 +706,7 @@ class MolecularDynamics:
                self.conv_chunk_rows, tuple(self.grid),
                getattr(self, '_d3_ver', 0))
         if getattr(self, '_pf_key', None) != key:
-            npt = self.ensemble == 'npt'
+            npt = self.ensemble.startswith('npt')
 
             def prime(state, verlet):
                 cell = state.cell if npt else None
@@ -876,7 +888,7 @@ class MolecularDynamics:
                self.conv_chunk_rows, tuple(self.grid),
                getattr(self, '_d3_ver', 0))
         if getattr(self, '_sw_key', None) != key:
-            npt = self.ensemble == 'npt'
+            npt = self.ensemble.startswith('npt')
             step = self._make_step()
 
             def refresh(verlet, state):
@@ -1066,7 +1078,7 @@ class MolecularDynamics:
             if ups:
                 self.rebuild_every = ups[0]
         self.state = state
-        if self.ensemble == 'npt' and self.use_cell_list:
+        if self.ensemble.startswith('npt') and self.use_cell_list:
             # the bin grid is compile-time static; if the barostat
             # shrank the cell enough that a bin is thinner than the
             # build cutoff, re-grid (next dispatch re-jits via the
@@ -1078,7 +1090,7 @@ class MolecularDynamics:
                 self.use_cell_list = all(
                     g >= 3 for g in self.grid
                 ) and self.n > 512
-        if self.ensemble == 'npt' and self._d3 is not None:
+        if self.ensemble.startswith('npt') and self._d3 is not None:
             # barostat compressed past the enumerated replica coverage:
             # re-enumerate (re-jits via the _d3_ver cache keys)
             widths_now = self._cell_widths(np.asarray(state.cell))

@@ -173,3 +173,71 @@ def make_npt_berendsen_step(efs_fn: Callable, masses, dt: float,
         )
 
     return step
+
+
+def voigt_to_tensor(s):
+    """(6,) Voigt xx yy zz xy yz zx (model convention,
+    model/layers.py stress head) -> symmetric (3, 3)."""
+    return jnp.array([
+        [s[0], s[3], s[5]],
+        [s[3], s[1], s[4]],
+        [s[5], s[4], s[2]],
+    ])
+
+
+def make_npt_berendsen_aniso_step(efs_fn: Callable, masses, dt: float,
+                                  temp_K: float, tdamp: float,
+                                  press_target, pdamp: float,
+                                  compressibility: float = 4.57e-5):
+    """Anisotropic (full-cell / triclinic) NPT: Nose-Hoover thermostat
+    + tensor Berendsen barostat (LAMMPS ``fix press/berendsen`` with
+    ``couple none`` + tilt semantics -- the reference relies on LAMMPS
+    ``fix npt`` over the pair-style virial for full-cell MD,
+    pair_e3gnn.cpp virial tally :479-503; the isotropic variant above
+    cannot relax shear or per-axis stress).
+
+    Each step applies the symmetric strain
+
+        mu = I - dt * compressibility / (3 * pdamp) * (P_t - P_int)
+
+    to cell rows and positions (rows @ mu); the linearization of the
+    isotropic formula above, so on an isotropically-stressed cubic cell
+    the two ensembles agree to O(dP^2). press_target: scalar
+    (hydrostatic) or (3, 3) tensor in eV/A^3. P_int = kinetic
+    sum(m v x v)/V + the model stress tensor (model convention already
+    carries -virial/V, so it IS the potential pressure contribution).
+    """
+    inv_m = (1.0 / masses)[:, None]
+    n_dof = 3 * masses.shape[0]
+    Q = n_dof * kB * temp_K * tdamp ** 2
+    p_t = jnp.asarray(press_target)
+    if p_t.ndim == 0:
+        p_t = p_t * jnp.eye(3)
+
+    def thermo_half(vel, xi):
+        ke2 = jnp.sum(masses[:, None] * vel ** 2)
+        xi_dot = (ke2 - n_dof * kB * temp_K) / Q
+        xi = xi + 0.5 * dt * xi_dot
+        vel = vel * jnp.exp(-0.5 * dt * xi)
+        return vel, xi
+
+    def step(state: MDState, nl) -> MDState:
+        vel, xi = thermo_half(state.vel, state.xi)
+        v_half = vel + 0.5 * dt * state.forces * inv_m
+        pos = state.pos + dt * v_half
+        energy, forces, stress = efs_fn(pos, nl, state.cell)
+        vel = v_half + 0.5 * dt * forces * inv_m
+        vel, xi = thermo_half(vel, xi)
+        vol = jnp.abs(jnp.linalg.det(state.cell))
+        p_kin = jnp.einsum('ni,n,nj->ij', vel, masses, vel) / vol
+        p_int = p_kin + voigt_to_tensor(stress)
+        mu = jnp.eye(3, dtype=pos.dtype) - (
+            dt * compressibility / (3.0 * pdamp)
+        ) * (p_t - p_int).astype(pos.dtype)
+        mu = 0.5 * (mu + mu.T)  # keep the strain exactly symmetric
+        return state._replace(
+            pos=pos @ mu, vel=vel, forces=forces, energy=energy, xi=xi,
+            cell=state.cell @ mu,
+        )
+
+    return step
