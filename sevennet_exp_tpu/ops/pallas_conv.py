@@ -61,48 +61,43 @@ def set_interpret(flag: bool):
     _INTERPRET = flag
 
 
-# CG contraction mode: 'terms' = per-(m,n,p) sliced VPU products
-# (25% lane use at mul=32); 'fullwidth' = per-instruction MXU-assisted
-# full-width ops (St = sh @ CT; group reductions as 0/1 matmuls) --
-# fewer, wider VPU ops at the cost of extra small MXU dots. Measured
-# v5e, 7net-0 @1k atoms: fullwidth 17.1 ms/step vs terms 18.9 (bwd
-# kernels 11.9 -> 9.5 ms). 'fwslim' keeps the fullwidth layout but
-# replaces the 0/1 tile/group-sum matmuls (~3/4 of the kernel's MXU
-# MACs: mul*W per (instr, p) each) with lane concats and slice sums --
-# pure data movement on the VPU instead of dense dots.
+# CG contraction mode. Two survivors of the round-2..4 formulation
+# ladder (full measurement records: NOTES_ROUND3/4.md, BENCH_NOTES.md):
+#
+# 'cmshared' (DEFAULT) = feature-major (column-major) TERMS kernels:
+# all per-edge tensors are transposed ONCE in VMEM so every elementwise
+# CG op runs (width, B) with the edge dim on the 128 lanes, and the
+# per-(m, n) x*y products are cached and shared ACROSS instructions of
+# the same input slice, fwd AND bwd. Measured (slope-timed, v5e,
+# tools/bench_kernel.py E=44032, 2026-08-18): fwd 18.2 ns/row, fwd+bwd
+# 33.3 -- the best of every formulation tried.
+#
+# 'terms' = the original edge-major per-(m, n, p) sliced VPU products
+# (25% lane use at mul=32). Kept as the structurally-independent
+# fallback / cross-check path; everything else it shares with cmshared
+# is the plan, not the kernel body.
+#
+# Pruned after measurement (round 5; code removed, records kept):
+# 'fullwidth'/'fwslim'/'fwhybrid'/'fwmixed' (edge-major St = sh @ CT
+# with 0/1-matmul or slice-sum group reductions -- all within +-8%
+# noise of 'terms' on the full step, and the St materialization is
+# 15.6 of 29.3 ns/row in feature-major form), 'cm' (feature-major St:
+# fwd 25.6 ns/row, fwd+bwd 39.0), 'cmhyb' (terms fwd + St bwd: 41.7,
+# worse than either parent). The MXU-CG dense-operator alternative
+# (tools/bench_cgmxu.py) re-measured 2026-08-18 on hardware: 2.1x
+# slower AND numerically wrong (Mosaic sublane<->lane reshapes
+# mis-order data) -- the round-3-verdict MXU hypothesis stays refuted
+# by measurement.
 import os as _os
 
 _CG_MODE = _os.environ.get('SEVENNET_CG_MODE', 'cmshared')
 
-# 'cm' = feature-major (column-major) kernels: all per-edge tensors are
-# transposed ONCE in VMEM so every elementwise CG op runs (width, B)
-# with the edge dim on the 128 lanes -- the structural fix for the
-# 25%-lane-use problem of (B, mul)-sliced ops at mul=32/64.
-#
-# 'cmshared' (round 4, DEFAULT) = feature-major TERMS formulation with
-# an (m, n)-product cache shared ACROSS instructions of the same input
-# slice, fwd AND bwd -- zero St dots. Measured (slope-timed, v5e,
-# tools/bench_kernel.py E=44032, 2026-08-18): fwd 25.6 -> 18.2 ns/row,
-# fwd+bwd 39.0 -> 33.3 vs 'cm'. bench_pieces showed why: the St
-# materialization (tiled (sum_k d3*d1*mul, B) factor + ~12 tiny
-# ct-dots) is 15.6 of the 29.3 ns/row 'cm' forward while the terms
-# products are ~4 ns/row of VPU work. 'cmhyb' (terms fwd + St bwd)
-# measured WORSE than either (41.7 fwd+bwd). The MXU-CG alternative
-# (dense CG operator over (m, n)-outer products, tools/bench_cgmxu.py)
-# re-measured 2026-08-18 on hardware: 2.1x slower than 'st' AND
-# numerically wrong (Mosaic sublane<->lane reshapes mis-order data;
-# max|err| ~ max|val|) -- the round-3-verdict MXU hypothesis stays
-# refuted by measurement.
-_FW_MODES = ('fullwidth', 'fwslim', 'fwhybrid', 'fwmixed', 'cm',
-             'cmshared', 'cmhyb')
-
 
 def set_cg_mode(mode: str):
-    """'terms' | 'fullwidth' | 'fwslim' | 'fwhybrid' | 'fwmixed' |
-    'cm' | 'cmshared' | 'cmhyb'. Affects newly built kernels only --
-    call make_fused_conv.cache_clear() to rebuild."""
+    """'cmshared' (default) | 'terms'. Affects newly built kernels
+    only -- call make_fused_conv.cache_clear() to rebuild."""
     global _CG_MODE
-    assert mode in ('terms',) + _FW_MODES
+    assert mode in ('terms', 'cmshared')
     _CG_MODE = mode
 
 
@@ -178,43 +173,7 @@ def half_mlp_enabled() -> bool:
     # shift-vector lists, which no current builder produces); a real
     # self-paired edge would be silently dropped from the half list.
     # Re-check this contract before enabling on any new list builder.
-    return _HALF_MLP and _CG_MODE in ('cm', 'cmshared', 'cmhyb')
-
-
-def _iota_blockdiag(rows: int, cols: int, group: int, transpose=False):
-    """0/1 matrix M[r, c] = (c // group == r) as f32 (or its transpose)
-    built from iotas in-kernel (pallas rejects captured array
-    constants)."""
-    sh = (rows, cols)
-    r = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-    if transpose:
-        return (r // group == c).astype(jnp.float32)
-    return (c // group == r).astype(jnp.float32)
-
-
-def _iota_tile(mul: int, W: int):
-    """(mul, W) with M[j, m*mul + j] = 1: gw @ M tiles a (B, mul) row
-    block across the dim1 groups of a full-width (B, W) layout."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (mul, W), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (mul, W), 1)
-    return (c % mul == r).astype(jnp.float32)
-
-
-def _iota_groupsum(W: int, mul: int):
-    """(W, mul) with M[m*mul + j, j] = 1: prod @ M sums the dim1
-    groups of a full-width (B, W) product back to (B, mul)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (W, mul), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (W, mul), 1)
-    return (r % mul == c).astype(jnp.float32)
-
-
-def _iota_lanegroup(W: int, d1: int, mul: int):
-    """(W, d1) with M[m*mul + j, m] = 1: prod @ M reduces each
-    mul-lane group to one column (per-m lane sums)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (W, d1), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (W, d1), 1)
-    return (r // mul == c).astype(jnp.float32)
+    return _HALF_MLP and _CG_MODE == 'cmshared'
 
 
 def set_dot_mode(mode: str):
@@ -410,26 +369,6 @@ def _tp_plan(spec: UVUTensorProductSpec):
     return plan, w_off
 
 
-def _fw_eligible(p_ins) -> bool:
-    """Full-width CG eligibility: needs >= 2 input components to pack
-    (the whole point is fusing the (B, mul)-sliced ops into one
-    (B, mul*dim1) op)."""
-    return p_ins['dim1'] >= 2
-
-
-def _fw_ct(p_ins) -> np.ndarray:
-    """(dim2, dim3*W) with CT[n, p*W + m*mul + j] = c_mnp for all j:
-    sh_slice @ CT yields, per output component p, the full-width
-    'tiled' CG factor St_p with St_p[:, m*mul + j] = sum_n c_mnp*y_n --
-    ONE MXU matmul replaces every per-(m, n) broadcast product."""
-    mul, d1, d3 = p_ins['mul'], p_ins['dim1'], p_ins['dim3']
-    W = mul * d1
-    ct = np.zeros((p_ins['dim2'], d3 * W), np.float32)
-    for (m, n, p, c) in p_ins['nz']:
-        ct[n, p * W + m * mul:p * W + (m + 1) * mul] = c
-    return ct
-
-
 def _si2_groups(tp_spec: UVUTensorProductSpec, si2: LinearSpec):
     """Group-major view of the TP->si2 contraction: one group per si2
     output entry j, listing the TP output entries k that feed it in
@@ -583,88 +522,12 @@ def make_fused_conv(
     assert n_mlp == 3, 'kernel assumes 2 hidden layers (reference default)'
     n_si2 = len(si2_spec.paths)
 
-    # full-width CG: per-instruction constant matrices passed as kernel
-    # inputs (pallas rejects captured array constants). ct: sh -> tiled
-    # St; c2: lane-group sums -> dsh columns (bwd).
-    # 'cmshared' skips the St machinery entirely: all instructions take
-    # the terms path with a product cache shared across instructions
-    # (bench_pieces 2026-08-18: the St materialization is 15.6 of the
-    # 29.3 ns/row forward; the terms products are ~4 ns/row).
-    # 'cmhyb' keeps the St/full-width machinery for the BACKWARD (where
-    # its consolidated dX/dsh dots measured faster than terms) but
-    # forces the terms-shared path in the FORWARD.
-    use_cm = _CG_MODE in ('cm', 'cmshared', 'cmhyb')
-    fwd_terms = _CG_MODE in ('cmshared', 'cmhyb')
-    use_fw = _CG_MODE in _FW_MODES and _CG_MODE != 'cmshared'
-    # Per-leg choices. Isolated-kernel timings (v5e, E=44k, mid 7net-0
-    # layer) showed slice-sum group reductions 2.8x faster than the 0/1
-    # matmul in the BACKWARD kernel but 1.5x slower in the forward;
-    # 'fwmixed' picks the per-leg winner. On the FULL 1k MD step,
-    # however, all fw modes land within measurement noise (~+-8%,
-    # /tmp logs 2026-08-17) -- the 0/1 dots are not what the real step
-    # is bound on. Modes kept as tested knobs; default stays
-    # 'fullwidth'.
-    slim_tile_bwd = _CG_MODE in ('fwslim', 'fwhybrid', 'fwmixed')
-    slim_gsum_fwd = _CG_MODE == 'fwslim'
-    slim_gsum_bwd = _CG_MODE in ('fwslim', 'fwmixed')
-    fw_inputs = []
-    seen_ids = set()
-    for grp in groups:
-        for p_ins, _row in grp['ks']:
-            if id(p_ins) in seen_ids:
-                continue
-            seen_ids.add(id(p_ins))
-            if use_fw and _fw_eligible(p_ins):
-                mul, dd1, dd3 = (p_ins['mul'], p_ins['dim1'],
-                                 p_ins['dim3'])
-                c2 = np.zeros((dd3 * dd1, p_ins['dim2']), np.float32)
-                for (m, n, p, c) in p_ins['nz']:
-                    c2[p * dd1 + m, n] = c
-                p_ins['ct'] = len(fw_inputs)
-                fw_inputs.append(_fw_ct(p_ins))  # numpy: jnp arrays
-                p_ins['ct2'] = len(fw_inputs)    # created at trace time
-                fw_inputs.append(c2)             # would leak via the
-                #                                  lru_cache
-            else:
-                p_ins['ct'] = None
-    n_fw = len(fw_inputs)
+    use_cm = _CG_MODE == 'cmshared'
 
-    def _groupsum(v, mul, dd1, use_slices):
-        """Sum the dd1 m-groups of a (B, mul*dd1) product to (B, mul):
-        slices = dd1-1 lane-slice adds (no MACs); else one 0/1 MXU
-        dot."""
-        if use_slices:
-            acc = v[:, 0:mul]
-            for m in range(1, dd1):
-                acc = acc + v[:, m * mul:(m + 1) * mul]
-            return acc
-        return _raw_dot(v, _iota_groupsum(mul * dd1, mul))
-
-    def _tile(gw, mul, dd1, use_concat):
-        """Tile a (B, mul) row block dd1 times to (B, mul*dd1):
-        concat = lane concat (no MACs); else one 0/1 MXU dot."""
-        if use_concat:
-            return (jnp.concatenate([gw] * dd1, axis=1)
-                    if dd1 > 1 else gw)
-        return _raw_dot(gw, _iota_tile(mul, mul * dd1))
-
-    def _cg_acc(xg_ref, sh_ref, fw_refs, p_ins):
+    def _cg_acc(xg_ref, sh_ref, p_ins):
         """CG contraction for one instruction: list of dim3 (B, mul)."""
         mul = p_ins['mul']
         xo, so = p_ins['x_off'], p_ins['sh_off']
-        if p_ins['ct'] is not None:
-            dd1, dd3 = p_ins['dim1'], p_ins['dim3']
-            W = mul * dd1
-            X = xg_ref[:, xo:xo + W]
-            St = _raw_dot(
-                sh_ref[:, so:so + p_ins['dim2']],
-                fw_refs[p_ins['ct']][...],
-            )
-            return [
-                _groupsum(X * St[:, p * W:(p + 1) * W], mul, dd1,
-                          slim_gsum_fwd)
-                for p in range(dd3)
-            ]
         cache = {}
         acc = [None] * p_ins['dim3']
         for (m, n, p, c) in p_ins['nz']:
@@ -680,7 +543,6 @@ def make_fused_conv(
     def fwd_kernel(xg_ref, sh_ref, emb_ref, ms_ref,
                    w0_ref, w1_ref, w2_ref, *rest):
         si2_refs = rest[:n_si2]
-        fw_refs = rest[n_si2:n_si2 + n_fw]
         out_ref = rest[-1]
         w_rad, _ = _mlp_forward(
             emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
@@ -707,7 +569,7 @@ def make_fused_conv(
             for p_ins, _row in grp['ks']:
                 mul, wo = p_ins['mul'], p_ins['w_off']
                 wn = w_rad[:, wo:wo + mul]
-                acc = _cg_acc(xg_ref, sh_ref, fw_refs, p_ins)
+                acc = _cg_acc(xg_ref, sh_ref, p_ins)
                 accw.append([
                     (a if a is not None
                      else jnp.zeros((b, mul), jnp.float32)) * wn
@@ -723,7 +585,6 @@ def make_fused_conv(
     def bwd_kernel(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
                    w0_ref, w1_ref, w2_ref, *refs):
         si2_refs = refs[:n_si2]
-        fw_refs = refs[n_si2:n_si2 + n_fw]
         dxg_ref, dsh_ref, demb_ref = refs[-3:]
         w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
         w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
@@ -743,7 +604,6 @@ def make_fused_conv(
         # register-resident accumulators, refs written ONCE at the end
         dxg_acc = {}      # (offset, width) -> (B, width)
         dsh_acc = {}      # sh column index -> (B, 1)
-        dsh_blk_acc = {}  # (offset, width) -> (B, width) (full-width)
         dw_eff_cols = {}
         for grp in groups:
             W = si2_refs[grp['path']][...] * grp['alpha']
@@ -763,48 +623,6 @@ def make_fused_conv(
                 wn = w_eff[:, wo:wo + mul]
                 gw = [gmcat[p][:, row:row + mul] * wn
                       for p in range(grp['dim3'])]
-                if p_ins['ct'] is not None:
-                    # full-width backward: tiled gw rides the same
-                    # St factor; group reductions via 0/1 MXU dots
-                    dd1, dd3 = p_ins['dim1'], p_ins['dim3']
-                    W = mul * dd1
-                    X = xg_ref[:, xo:xo + W]
-                    St = _raw_dot(
-                        sh_ref[:, so:so + p_ins['dim2']],
-                        fw_refs[p_ins['ct']][...],
-                    )
-                    R2 = _iota_lanegroup(W, dd1, mul)
-                    dX = None
-                    dw_acc_fw = None
-                    zs = []
-                    for p in range(dd3):
-                        St_p = St[:, p * W:(p + 1) * W]
-                        T = _tile(gw[p], mul, dd1,    # (B, W) tiled
-                                  slim_tile_bwd)
-                        v = T * St_p
-                        dX = v if dX is None else dX + v
-                        zs.append(_raw_dot(T * X, R2))  # (B, dd1)
-                        acc_p = _groupsum(X * St_p, mul, dd1,
-                                          slim_gsum_bwd)
-                        t = gmcat[p][:, row:row + mul] * acc_p
-                        dw_acc_fw = (t if dw_acc_fw is None
-                                     else dw_acc_fw + t)
-                    kx = (xo, W)
-                    dxg_acc[kx] = (dX if kx not in dxg_acc
-                                   else dxg_acc[kx] + dX)
-                    z = jnp.concatenate(zs, axis=1)  # (B, dd3*dd1)
-                    dsh_blk = _raw_dot(
-                        z, fw_refs[p_ins['ct2']][...]
-                    )  # (B, dim2)
-                    kn = (so, p_ins['dim2'])
-                    dsh_blk_acc[kn] = (dsh_blk if kn not in dsh_blk_acc
-                                       else dsh_blk_acc[kn] + dsh_blk)
-                    key = (wo, mul)
-                    dw_eff_cols[key] = (
-                        dw_acc_fw if key not in dw_eff_cols
-                        else dw_eff_cols[key] + dw_acc_fw
-                    )
-                    continue
                 xm_cache = {}
                 xy_cache = {}
                 gxm_cache = {}
@@ -854,8 +672,6 @@ def make_fused_conv(
         dsh_ref[...] = jnp.zeros_like(dsh_ref)
         for n_col, v in dsh_acc.items():
             dsh_ref[:, n_col:n_col + 1] = dsh_ref[:, n_col:n_col + 1] + v
-        for (off, w), v in dsh_blk_acc.items():
-            dsh_ref[:, off:off + w] = dsh_ref[:, off:off + w] + v
         # assemble dw_eff -> demb through the MLP (concat in column order;
         # pallas TPU has no scatter primitive)
         pieces = []
@@ -879,14 +695,6 @@ def make_fused_conv(
     # with the edge dim on the 128 lanes. One VMEM transpose per input
     # replaces thousands of quarter-full vregs; MXU dots take the
     # transposed operand natively (_dotT).
-
-    def _gsum_cm(v, mul, dd1):
-        """Sum the dd1 m-groups of a (mul*dd1, B) product -> (mul, B)
-        via sublane-slice adds (mul is a multiple of 8 in practice)."""
-        acc = v[0:mul, :]
-        for m in range(1, dd1):
-            acc = acc + v[m * mul:(m + 1) * mul, :]
-        return acc
 
     def _pad_rows_cm(v, off, total):
         """Zero-pad a (rows, B) block to (total, B) at row offset off.
@@ -920,8 +728,7 @@ def make_fused_conv(
         return (jnp.concatenate(pieces, axis=0) if len(pieces) > 1
                 else pieces[0])
 
-    def _cg_acc_cm(xgT, shT, fw_refs, p_ins, cache=None,
-                   force_terms=False):
+    def _cg_acc_cm(xgT, shT, p_ins, cache=None):
         """CG contraction, feature-major: list of dim3 (mul, B).
 
         cache: optional dict shared ACROSS instructions ('cmshared'):
@@ -929,16 +736,6 @@ def make_fused_conv(
         the same input slice reuse each other's x*y products."""
         mul = p_ins['mul']
         xo, so = p_ins['x_off'], p_ins['sh_off']
-        if p_ins['ct'] is not None and not force_terms:
-            dd1, dd3 = p_ins['dim1'], p_ins['dim3']
-            W = mul * dd1
-            XT = xgT[xo:xo + W, :]
-            StT = _dotT(fw_refs[p_ins['ct']][...],
-                        shT[so:so + p_ins['dim2'], :])  # (dd3*W, B)
-            return [
-                _gsum_cm(XT * StT[p * W:(p + 1) * W, :], mul, dd1)
-                for p in range(dd3)
-            ]
         if cache is None:
             cache = {}
         acc = [None] * p_ins['dim3']
@@ -953,7 +750,7 @@ def make_fused_conv(
             acc[p] = t if acc[p] is None else acc[p] + t
         return acc
 
-    def _cm_fwd_core(xgT, shT, w_radT, b, si2_refs, fw_refs):
+    def _cm_fwd_core(xgT, shT, w_radT, b, si2_refs):
         """Shared cm forward: weighted CG messages -> (agg) -> si2.
         Returns the (n_rows, d_out) output block (row-major)."""
         if agg_d:
@@ -973,8 +770,7 @@ def make_fused_conv(
             for p_ins, _row in grp['ks']:
                 mul, wo = p_ins['mul'], p_ins['w_off']
                 wnT = w_radT[wo:wo + mul, :]
-                acc = _cg_acc_cm(xgT, shT, fw_refs, p_ins, xy_shared,
-                                 force_terms=fwd_terms)
+                acc = _cg_acc_cm(xgT, shT, p_ins, xy_shared)
                 accw.append([
                     (a if a is not None
                      else jnp.zeros((mul, b), jnp.float32)) * wnT
@@ -992,7 +788,6 @@ def make_fused_conv(
     def fwd_kernel_cm(xg_ref, sh_ref, emb_ref, ms_ref,
                       w0_ref, w1_ref, w2_ref, *rest):
         si2_refs = rest[:n_si2]
-        fw_refs = rest[n_si2:n_si2 + n_fw]
         out_ref = rest[-1]
         w_rad, _ = _mlp_forward(
             emb_ref[...], w0_ref[...], w1_ref[...], w2_ref[...], act_name
@@ -1001,10 +796,10 @@ def make_fused_conv(
         xgT = xg_ref[...].T                     # (d1, B)
         shT = sh_ref[...].T                     # (f, B)
         out_ref[...] = _cm_fwd_core(
-            xgT, shT, w_radT, xg_ref.shape[0], si2_refs, fw_refs
+            xgT, shT, w_radT, xg_ref.shape[0], si2_refs
         )
 
-    def _cm_bwd_core(gT, xgT, shT, w_effT, b, si2_refs, fw_refs):
+    def _cm_bwd_core(gT, xgT, shT, w_effT, b, si2_refs):
         """Shared cm backward: returns (dxgT (d1, B) assembled,
         dshT (f, B), dw_effT (w_numel, B))."""
         if agg_d:
@@ -1036,39 +831,6 @@ def make_fused_conv(
                 wnT = w_effT[wo:wo + mul, :]
                 gwT = [gmcatT[p][row:row + mul, :] * wnT
                        for p in range(grp['dim3'])]
-                if p_ins['ct'] is not None:
-                    dd1, dd3 = p_ins['dim1'], p_ins['dim3']
-                    Wn = mul * dd1
-                    XT = xgT[xo:xo + Wn, :]
-                    StT = _dotT(fw_refs[p_ins['ct']][...],
-                                shT[so:so + p_ins['dim2'], :])
-                    R2 = _iota_lanegroup(Wn, dd1, mul)       # (Wn, dd1)
-                    dXT = None
-                    dw_acc_fw = None
-                    zs = []
-                    for p in range(dd3):
-                        StT_p = StT[p * Wn:(p + 1) * Wn, :]
-                        T = (jnp.concatenate([gwT[p]] * dd1, axis=0)
-                             if dd1 > 1 else gwT[p])         # (Wn, B)
-                        v = T * StT_p
-                        dXT = v if dXT is None else dXT + v
-                        zs.append(_dotT(R2, T * XT))         # (dd1, B)
-                        acc_p = _gsum_cm(XT * StT_p, mul, dd1)
-                        t = gmcatT[p][row:row + mul, :] * acc_p
-                        dw_acc_fw = (t if dw_acc_fw is None
-                                     else dw_acc_fw + t)
-                    kx = (xo, Wn)
-                    dxg_acc[kx] = (dXT if kx not in dxg_acc
-                                   else dxg_acc[kx] + dXT)
-                    z = jnp.concatenate(zs, axis=0)  # (dd3*dd1, B)
-                    dsh_blk = _dotT(fw_refs[p_ins['ct2']][...], z)
-                    dshT = dshT + _pad_rows_cm(dsh_blk, so, f)
-                    key = (wo, mul)
-                    dw_eff_cols[key] = (
-                        dw_acc_fw if key not in dw_eff_cols
-                        else dw_eff_cols[key] + dw_acc_fw
-                    )
-                    continue
                 gxm_cache = {}
                 sacc = {}
                 dw_acc = None
@@ -1120,7 +882,6 @@ def make_fused_conv(
     def bwd_kernel_cm(g_ref, xg_ref, sh_ref, emb_ref, ms_ref,
                       w0_ref, w1_ref, w2_ref, *refs):
         si2_refs = refs[:n_si2]
-        fw_refs = refs[n_si2:n_si2 + n_fw]
         dxg_ref, dsh_ref, demb_ref = refs[-3:]
         w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
         w_rad, (pre0, h0, pre1, h1) = _mlp_forward(
@@ -1133,7 +894,7 @@ def make_fused_conv(
         gT = g_ref[...].T                       # (d_out, rows)
         b = xg_ref.shape[0]
         dxgT, dshT, dw_effT = _cm_bwd_core(
-            gT, xgT, shT, w_effT, b, si2_refs, fw_refs
+            gT, xgT, shT, w_effT, b, si2_refs
         )
         dxg_ref[...] = dxgT.T
         dsh_ref[...] = dshT.T
@@ -1152,20 +913,18 @@ def make_fused_conv(
 
     def fwd_kernel_cm_w(xg_ref, sh_ref, weff_ref, *rest):
         si2_refs = rest[:n_si2]
-        fw_refs = rest[n_si2:n_si2 + n_fw]
         out_ref = rest[-1]
         out_ref[...] = _cm_fwd_core(
             xg_ref[...].T, sh_ref[...].T, weff_ref[...].T,
-            xg_ref.shape[0], si2_refs, fw_refs,
+            xg_ref.shape[0], si2_refs,
         )
 
     def bwd_kernel_cm_w(g_ref, xg_ref, sh_ref, weff_ref, *refs):
         si2_refs = refs[:n_si2]
-        fw_refs = refs[n_si2:n_si2 + n_fw]
         dxg_ref, dsh_ref, dweff_ref = refs[-3:]
         dxgT, dshT, dw_effT = _cm_bwd_core(
             g_ref[...].T, xg_ref[...].T, sh_ref[...].T,
-            weff_ref[...].T, xg_ref.shape[0], si2_refs, fw_refs,
+            weff_ref[...].T, xg_ref.shape[0], si2_refs,
         )
         dxg_ref[...] = dxgT.T
         dsh_ref[...] = dshT.T
@@ -1193,7 +952,6 @@ def make_fused_conv(
     def fwd_kernel_geom(xg_ref, vec_ref, ms_ref, cf_ref,
                         w0_ref, w1_ref, w2_ref, *rest):
         si2_refs = rest[:n_si2]
-        fw_refs = rest[n_si2:n_si2 + n_fw]
         out_ref = rest[-1]
         vT = vec_ref[...].T                     # (3, B)
         coeffs = cf_ref[...][0]                 # (nb,)
@@ -1202,13 +960,12 @@ def make_fused_conv(
         w_radT = w_radT * ms_ref[...].T
         xgT = xg_ref[...].T
         out_ref[...] = _cm_fwd_core(
-            xgT, shT, w_radT, xg_ref.shape[0], si2_refs, fw_refs
+            xgT, shT, w_radT, xg_ref.shape[0], si2_refs
         )
 
     def bwd_kernel_geom(g_ref, xg_ref, vec_ref, ms_ref, cf_ref,
                         w0_ref, w1_ref, w2_ref, *refs):
         si2_refs = refs[:n_si2]
-        fw_refs = refs[n_si2:n_si2 + n_fw]
         dxg_ref, dvec_ref = refs[-2:]
         w0, w1, w2 = w0_ref[...], w1_ref[...], w2_ref[...]
         vT = vec_ref[...].T
@@ -1223,7 +980,7 @@ def make_fused_conv(
         gT = g_ref[...].T
         b = xg_ref.shape[0]
         dxgT, dshT, dw_effT = _cm_bwd_core(
-            gT, xgT, shT, w_effT, b, si2_refs, fw_refs
+            gT, xgT, shT, w_effT, b, si2_refs
         )
         dxg_ref[...] = dxgT.T
         # radial chain, feature-major
@@ -1297,13 +1054,11 @@ def make_fused_conv(
             in_specs=(
                 _especs([d1, f, r, 1], fwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=_especs([d_out], out_rows)[0],
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(xg, sh, emb, ms, *mlp_ws, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(xg, sh, emb, ms, *mlp_ws, *si2_ws)
 
     # block sizes: the bwd carries ~2x the fwd working set (accumulators
     # + caches); with the raised scoped-VMEM cap both run at large
@@ -1423,13 +1178,11 @@ def make_fused_conv(
                 _especs([d_out], g_rows)
                 + _especs([d1, f, r, 1], bwd_block)
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=tuple(_especs([d1, f, r], bwd_block)),
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(g, xg, sh, emb, ms, *mlp_ws, *si2_ws)
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dsh, demb, jnp.zeros_like(ms), zeros_mlp, zeros_si2)
@@ -1459,13 +1212,11 @@ def make_fused_conv(
                 _especs([d1, 3, 1], fwd_block)
                 + _wspecs([cf.shape])
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=_especs([d_out], out_rows)[0],
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(xg, vec, ms, cf, *mlp_ws, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(xg, vec, ms, cf, *mlp_ws, *si2_ws)
 
     def bwd_call_geom(res, g):
         xg, vec, ms, coeffs, mlp_ws, si2_ws = res
@@ -1496,13 +1247,11 @@ def make_fused_conv(
                 + _especs([d1, 3, 1], bwd_block)
                 + _wspecs([cf.shape])
                 + _wspecs(mlp_shapes) + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=tuple(_especs([d1, 3], bwd_block)),
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(g, xg, vec, ms, cf, *mlp_ws, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(g, xg, vec, ms, cf, *mlp_ws, *si2_ws)
         zeros_mlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dvec, jnp.zeros_like(ms), jnp.zeros_like(coeffs),
@@ -1525,13 +1274,11 @@ def make_fused_conv(
             in_specs=(
                 _especs([d1, f, w_numel], fwd_block)
                 + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=_especs([d_out], out_rows)[0],
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(xg, sh, weff, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(xg, sh, weff, *si2_ws)
 
     def bwd_call_w(res, g):
         xg, sh, weff, si2_ws = res
@@ -1556,13 +1303,11 @@ def make_fused_conv(
                 _especs([d_out], g_rows)
                 + _especs([d1, f, w_numel], bwd_block)
                 + _wspecs(si2_shapes)
-                + _wspecs([c.shape for c in fw_inputs])
             ),
             out_specs=tuple(_especs([d1, f, w_numel], bwd_block)),
             interpret=_INTERPRET,
             compiler_params=_cparams,
-        )(g, xg, sh, weff, *si2_ws,
-          *[jnp.asarray(c) for c in fw_inputs])
+        )(g, xg, sh, weff, *si2_ws)
         zeros_si2 = tuple(jnp.zeros_like(w) for w in si2_ws)
         return (dxg, dsh, dweff, zeros_si2)
 

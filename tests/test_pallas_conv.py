@@ -32,7 +32,7 @@ def interpret_mode():
         pallas_conv.make_fused_conv.cache_clear()
 
 
-@pytest.mark.parametrize('cg_mode', ['fullwidth', 'fwmixed', 'cm', 'cmshared', 'cmhyb'])
+@pytest.mark.parametrize('cg_mode', ['terms', 'cmshared'])
 def test_fused_conv_matches_xla_model(cg_mode):
     pallas_conv.set_cg_mode(cg_mode)
     pallas_conv.make_fused_conv.cache_clear()
@@ -87,8 +87,7 @@ def test_fused_conv_matches_xla_lmax3():
 
 
 @pytest.mark.parametrize('cg_mode,geom', [
-    ('fullwidth', False), ('cm', False), ('cmshared', False),
-    ('cmhyb', False), ('cmshared', True),
+    ('terms', False), ('cmshared', False), ('cmshared', True),
 ])
 def test_fused_agg_conv_matches_xla_md_engine(cg_mode, geom):
     """Dense neighbor-grid MD path: the in-kernel-aggregated fused conv

@@ -70,7 +70,7 @@ def main():
     print(f'xla:  E={float(e0):.6f}  max|F|={np.abs(f0).max():.4f}')
 
     pallas_tp.enable(True)
-    for mode in ('cm', 'fullwidth'):
+    for mode in ('cmshared', 'terms'):
         pallas_conv.set_cg_mode(mode)
         md_p._sw_key = None  # drop any cached fns
         e1, f1 = jax.jit(md_p._ef_fn)(md_p.state.pos, nlg)
