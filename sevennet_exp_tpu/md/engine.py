@@ -442,13 +442,20 @@ class MolecularDynamics:
     def _build_nl(self, pos, cell=None):
         cell_m = self.cell if cell is None else cell
         if self.use_cell_list:
-            return cell_list_neighbor_list(
+            nl = cell_list_neighbor_list(
                 pos, cell_m, self.build_cutoff, self.e_cap,
                 self.grid, self.cell_cap,
             )
-        return dense_neighbor_list(
-            pos, cell_m, self.build_cutoff, self.e_cap
-        )
+        else:
+            nl = dense_neighbor_list(
+                pos, cell_m, self.build_cutoff, self.e_cap
+            )
+        # the Verlet list's own reverse permutation, computed once per
+        # BUILD: its two O(E log E) lexsorts used to run inside every
+        # per-cadence compact (dominating it at 100k); _compact_nl now
+        # derives the grid rev from this one with O(E) gathers/scatters,
+        # amortizing the sorts over the whole Verlet reuse window
+        return nl._replace(rev=reverse_permutation(nl.edge_idx))
 
     @property
     def e_cap_model(self) -> int:
@@ -528,6 +535,23 @@ class MolecularDynamics:
         src_p = base.at[row].set(src.astype(jnp.int32), mode='drop')
         valid = jnp.zeros(e_model, bool).at[row].set(True, mode='drop')
         edge_idx = jnp.stack([base, src_p])
+        if nl.rev is not None:
+            # grid rev from the build-time Verlet rev by pure O(E)
+            # gather/scatter (no per-compact lexsorts): edge e lands on
+            # grid row ``row[e]``, its reverse on ``row[nl.rev[e]]``.
+            # ``keep`` is reversal-symmetric (MIC r2 + valid), so a
+            # kept edge's reverse can only be missing via the rank >= D
+            # degree overflow, which sets overflow_deg and re-caps the
+            # run; the self-pairing fallback keeps rev an involution
+            # (and indices in range) even in that discarded window.
+            # Grid pad rows default to self (iota), satisfying the
+            # half_pair_indices fixed-point contract (ops/scatter.py).
+            rev_rows = row[nl.rev]
+            rev_rows = jnp.where(rev_rows < e_model, rev_rows, row)
+            rev = (jnp.arange(e_model, dtype=jnp.int32)
+                   .at[row].set(rev_rows.astype(jnp.int32), mode='drop'))
+        else:
+            rev = reverse_permutation(edge_idx)
         return NeighborState(
             edge_idx=edge_idx,
             valid=valid,
@@ -539,7 +563,7 @@ class MolecularDynamics:
             # 0.5*md_buffer bound in _postprocess_dispatch guards the
             # cutoff+md_buffer tier only
             ref_pos=pos,
-            rev=reverse_permutation(edge_idx),
+            rev=rev,
         )
 
     def _make_step(self):

@@ -149,13 +149,17 @@ def geom_dense_enabled() -> bool:
 # FLOP consumer (the 66k-MAC/row radial MLP of the roofline audit,
 # BENCH_NOTES.md round 4) and fewer narrow K=8 dots inside Mosaic.
 #
-# OPT-IN until measured faster on hardware: this path shipped in the
-# round-4 end-of-round snapshot with a default-on flag and no v5e
-# measurement; the round-4 driver bench ran it blind at 10.9 ns/day
-# vs 25.1 on the in-kernel-MLP path (the half-list bookkeeping --
-# jnp.nonzero + scatters every force call + the ext_w kernel variant
-# -- cost more at 1k than the saved MACs). Re-enable by default only
-# with a committed measurement showing a win (BENCH_NOTES).
+# REFUTED on v5e (round-5 A/B, BENCH_NOTES.md "Half-list radial
+# MLP"): 11.25 ns/day vs 25.2 at 1k -- 2.2x SLOWER despite the MAC
+# cut. The ext_w kernels consume a materialized (E, ~1000) per-edge
+# weight tensor (~131 MB/layer at E=32k) that the XLA MLP writes and
+# the kernel re-reads every layer and again in the backward; the
+# in-kernel MLP generates the same rows in VMEM from the (E, 8)
+# embedding. At ~5% MXU utilization the kernels are bandwidth/VPU
+# bound, so trading MACs for HBM round-trips loses. Kept as an
+# opt-in escape hatch + the tested reference for a future pair-major
+# kernel (which could share the weights in VMEM without the HBM
+# round-trip, at the cost of a two-row aggregation contract).
 _HALF_MLP = _os.environ.get(
     'SEVENNET_HALF_MLP', '0').lower() not in ('0', 'false', 'off')
 
