@@ -455,7 +455,7 @@ class MolecularDynamics:
         # per-cadence compact (dominating it at 100k); _compact_nl now
         # derives the grid rev from this one with O(E) gathers/scatters,
         # amortizing the sorts over the whole Verlet reuse window
-        return nl._replace(rev=reverse_permutation(nl.edge_idx))
+        return nl._replace(build_rev=reverse_permutation(nl.edge_idx))
 
     @property
     def e_cap_model(self) -> int:
@@ -535,10 +535,11 @@ class MolecularDynamics:
         src_p = base.at[row].set(src.astype(jnp.int32), mode='drop')
         valid = jnp.zeros(e_model, bool).at[row].set(True, mode='drop')
         edge_idx = jnp.stack([base, src_p])
-        if nl.rev is not None:
+        if nl.build_rev is not None:
             # grid rev from the build-time Verlet rev by pure O(E)
             # gather/scatter (no per-compact lexsorts): edge e lands on
-            # grid row ``row[e]``, its reverse on ``row[nl.rev[e]]``.
+            # grid row ``row[e]``, its reverse on
+            # ``row[nl.build_rev[e]]``.
             # ``keep`` is reversal-symmetric (MIC r2 + valid), so a
             # kept edge's reverse can only be missing via the rank >= D
             # degree overflow, which sets overflow_deg and re-caps the
@@ -546,7 +547,7 @@ class MolecularDynamics:
             # (and indices in range) even in that discarded window.
             # Grid pad rows default to self (iota), satisfying the
             # half_pair_indices fixed-point contract (ops/scatter.py).
-            rev_rows = row[nl.rev]
+            rev_rows = row[nl.build_rev]
             rev_rows = jnp.where(rev_rows < e_model, rev_rows, row)
             rev = (jnp.arange(e_model, dtype=jnp.int32)
                    .at[row].set(rev_rows.astype(jnp.int32), mode='drop'))

@@ -29,12 +29,19 @@ class NeighborState(NamedTuple):
     valid: jnp.ndarray      # (E,) bool
     overflow: jnp.ndarray   # () bool — Verlet build capacity overflow
     ref_pos: jnp.ndarray    # (N, 3) positions at build time
-    rev: jnp.ndarray = None  # (E,) reverse-edge permutation (optional)
+    rev: jnp.ndarray = None  # (E,) reverse-edge permutation over the
+    #   DENSE GRID rows (set by engine._compact_nl; its presence is the
+    #   structural "this is a dense-grid list" discriminator in
+    #   engine._energy_fn — never set it on a raw build list)
     overflow_deg: jnp.ndarray = None  # () bool — dense-grid degree
     #                                   overflow (set by _compact_nl)
     overflow_bin: jnp.ndarray = None  # () bool — cell-list bin overflow
     #   (an atom's rank in its bin exceeded cell_cap; grow cell_cap /
     #    re-grid, NOT e_cap — e.g. NPT compression raising density)
+    build_rev: jnp.ndarray = None  # (E,) reverse-edge permutation over
+    #   the BUILD edge list (set once per Verlet build by
+    #   engine._build_nl; _compact_nl derives the grid-level rev from
+    #   it with O(E) gathers instead of per-cadence lexsorts)
 
 
 def mic_displacements(pos_i, pos_j, cell, inv_cell):
