@@ -172,6 +172,26 @@ def test_md_forces_match_calculator(md_setup):
     np.testing.assert_allclose(np.asarray(f), res['forces'], atol=5e-4)
 
 
+def test_raw_build_nl_matches_compacted(md_setup):
+    """_ef_fn must give identical E/F on the raw Verlet build list
+    (scatter path) and the compacted dense grid. Regression: the
+    build-time rev amortization once rode NeighborState.rev, which
+    _energy_fn uses as the structural dense-grid discriminator — a
+    raw-list force call then misread the build list as an n*deg grid
+    (round-5 fix: the build permutation rides build_rev)."""
+    model, params, at = md_setup
+    md = MolecularDynamics(model, params, at, ensemble='nve')
+    nl_raw = md._build_nl(md.state.pos)
+    assert nl_raw.rev is None and nl_raw.build_rev is not None
+    e_raw, f_raw = md._ef_fn(md.state.pos, nl_raw)
+    nl_c = md._compact_nl(nl_raw, md.state.pos)
+    assert nl_c.rev is not None
+    e_c, f_c = md._ef_fn(md.state.pos, nl_c)
+    np.testing.assert_allclose(float(e_raw), float(e_c), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_raw), np.asarray(f_c),
+                               atol=1e-5)
+
+
 def test_conv_chunked_matches_whole(md_setup):
     """Memory-chunked convolution (scan + remat, CONV_CHUNK_ROWS) must
     reproduce the whole-array energies and forces exactly."""
